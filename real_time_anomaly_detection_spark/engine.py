@@ -1,0 +1,188 @@
+"""Validation engine orchestration: validate / profile / incremental_validate.
+
+Unifies the reference's three entry points (SURVEY.md §3) into one distributed
+pipeline:
+- `validate`   = detection + health check (anomaly_detector.py:375-409,
+                 :546-576) recast as constraint evaluation over partitions;
+- `profile`    = the stats-only view (health checker §3.2);
+- `incremental_validate` = the collector loop (§3.3): discover pending
+                 partitions via manifest anti-join, validate only those,
+                 append lineage — restart-safe, idempotent per partition.
+
+The per-station sequential loop of the reference (`anomaly_detector.py:431`)
+does not exist here: every constraint is a whole-table distributed job, and
+all constraints share one pruned, cached projection of the non-binary columns.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import manifest as mf
+from .operators import audio_checks, drift, referential, stats, uniqueness
+from .schemas import PARTITION_VERDICTS, VIOLATIONS
+
+
+@dataclass
+class ValidationConfig:
+    columns: tuple[str, ...] = ("sr_hz", "dur_ms")
+    categorical: tuple[str, ...] = ("codec",)
+    part_col: str = "part_id"
+    min_rows: int = stats.MIN_ROWS
+    expected_rows: int | None = None
+    salt_buckets: int = 16
+    snr_threshold: float = audio_checks.SNR_THRESHOLD_DB
+    psi_threshold: float = drift.PSI_THRESHOLD
+    ks_threshold: float = drift.KS_THRESHOLD
+    drift_min_rows: int = drift.MIN_ROWS
+    broadcast_refs: bool = True
+    approx: bool = True
+    checks: tuple[str, ...] = field(
+        default=("column_stats", "uniqueness", "referential", "drift", "audio")
+    )
+
+    def constraint_names(self) -> list[str]:
+        names: list[str] = []
+        if "column_stats" in self.checks:
+            names += [f"column_stats:{c}" for c in self.columns]
+        if "uniqueness" in self.checks:
+            names.append("uniqueness")
+        if "referential" in self.checks:
+            names.append("referential")
+        if "drift" in self.checks:
+            names += [f"drift:{c}" for c in self.columns]
+        if "audio" in self.checks:
+            names += ["pcm_check", "transcript_check"]
+        return names
+
+
+def profile(clips: DataFrame, cfg: ValidationConfig | None = None) -> DataFrame:
+    cfg = cfg or ValidationConfig()
+    return stats.profile(
+        clips, cfg.columns, cfg.categorical, cfg.part_col, approx=cfg.approx
+    )
+
+
+def validate(
+    spark: SparkSession,
+    clips: DataFrame,
+    refs: DataFrame | None = None,
+    baseline_rows: list[dict] | None = None,
+    ref_pcm_fn: Callable[[str], np.ndarray] | None = None,
+    cfg: ValidationConfig | None = None,
+    run_id: str | None = None,
+    manifest_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run all configured constraints; returns (verdicts, violations).
+
+    Checks needing absent inputs (refs / baseline / ref_pcm_fn) are skipped.
+    If `manifest_path` is given, verdicts are appended there under `run_id`.
+    """
+    cfg = cfg or ValidationConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    # One pruned projection shared by all metadata-only constraints; `bytes`
+    # deliberately excluded so only the audio check pays for the payload scan.
+    meta_cols = list(dict.fromkeys([cfg.part_col, "clip_id", *cfg.columns, *cfg.categorical]))
+    meta = clips.select(*meta_cols)
+
+    verdicts: list[DataFrame] = []
+    violations: list[DataFrame] = []
+
+    if "column_stats" in cfg.checks:
+        prof = stats.profile(meta, cfg.columns, cfg.categorical, cfg.part_col, approx=cfg.approx)
+        verdicts.append(
+            stats.stats_verdicts(prof, cfg.columns, cfg.part_col, cfg.expected_rows, cfg.min_rows)
+        )
+    if "uniqueness" in cfg.checks:
+        verdicts.append(
+            uniqueness.uniqueness_verdicts(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
+        )
+        violations.append(
+            uniqueness.uniqueness_violations(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
+        )
+    if "referential" in cfg.checks and refs is not None:
+        verdicts.append(referential.referential_verdicts(meta, refs, cfg.broadcast_refs))
+        violations.append(referential.referential_violations(meta, refs, cfg.broadcast_refs))
+    if "drift" in cfg.checks and baseline_rows:
+        verdicts.append(
+            drift.drift_verdicts(
+                meta,
+                baseline_rows,
+                cfg.part_col,
+                cfg.psi_threshold,
+                cfg.ks_threshold,
+                cfg.drift_min_rows,
+            )
+        )
+    if "audio" in cfg.checks and refs is not None and ref_pcm_fn is not None:
+        checked = audio_checks.pcm_check(
+            clips, refs, ref_pcm_fn, cfg.snr_threshold, cfg.broadcast_refs
+        )
+        verdicts.append(audio_checks.audio_verdicts(checked))
+        violations.append(audio_checks.audio_violations(checked, cfg.snr_threshold))
+
+    verdicts_df = _union(spark, verdicts, PARTITION_VERDICTS)
+    violations_df = _union(spark, violations, VIOLATIONS)
+
+    if manifest_path:
+        mf.append_manifest(verdicts_df, run_id, manifest_path)
+    return verdicts_df, violations_df
+
+
+def incremental_validate(
+    spark: SparkSession,
+    clips: DataFrame,
+    manifest_path: str,
+    refs: DataFrame | None = None,
+    baseline_rows: list[dict] | None = None,
+    ref_pcm_fn: Callable[[str], np.ndarray] | None = None,
+    cfg: ValidationConfig | None = None,
+    run_id: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Validate only partitions not yet completed per the manifest (T6).
+
+    The pending set is collected to the driver — it is partition metadata
+    (thousands of ints at 100 TB scale), then pushed down as a partition-pruning
+    IN-filter so completed partitions are never rescanned.
+    """
+    cfg = cfg or ValidationConfig()
+    man = mf.read_manifest(spark, manifest_path)
+    n_constraints = len(cfg.constraint_names())
+    pend = mf.pending_partitions(
+        clips.select(cfg.part_col).alias("p").withColumnRenamed(cfg.part_col, "part_id"),
+        man,
+        n_constraints,
+    )
+    pend_ids = [r.part_id for r in pend.collect()]
+    if not pend_ids:
+        return (
+            spark.createDataFrame([], PARTITION_VERDICTS),
+            spark.createDataFrame([], VIOLATIONS),
+        )
+    subset = clips.filter(F.col(cfg.part_col).isin(pend_ids))
+    return validate(
+        spark,
+        subset,
+        refs=refs,
+        baseline_rows=baseline_rows,
+        ref_pcm_fn=ref_pcm_fn,
+        cfg=cfg,
+        run_id=run_id,
+        manifest_path=manifest_path,
+    )
+
+
+def _union(spark: SparkSession, dfs: list[DataFrame], schema) -> DataFrame:
+    if not dfs:
+        return spark.createDataFrame([], schema)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,88 @@
+"""Referential integrity via anti-joins (M3).
+
+The reference enforces FK only by convention — `observations.station_id ->
+stations` meets solely in the LEFT JOIN at `view_data.py:167-172`. The graft
+promotes it to a checked constraint over `transcripts_ref.clip_id ->
+clips.clip_id`, both directions:
+
+- orphan refs:   ref rows with no matching clip   (ref  ANTI clips)
+- missing refs:  clips with no ground-truth row   (clips ANTI ref)
+
+Join strategy is explicit (north rule "broadcast/sort-merge anti-joins"):
+`broadcast=True` hints BroadcastHashJoin (parent fits in executors);
+`broadcast=False` leaves Catalyst/AQE to pick shuffled sort-merge/hash with
+skew-join splitting for hot keys. At 10^12 rows the clip side never
+broadcasts; the ref side may.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import VERDICT_FAIL, VERDICT_PASS
+
+
+def orphan_refs(clips: DataFrame, refs: DataFrame, broadcast: bool = False) -> DataFrame:
+    """Reference rows whose clip_id matches no clip."""
+    keys = clips.select("clip_id")
+    keys = F.broadcast(keys) if broadcast else keys
+    return refs.join(keys, "clip_id", "left_anti")
+
+
+def missing_refs(clips: DataFrame, refs: DataFrame, broadcast: bool = True) -> DataFrame:
+    """Clips without a ground-truth transcript row (keeps part_id for verdicts)."""
+    keys = refs.select("clip_id")
+    keys = F.broadcast(keys) if broadcast else keys
+    return clips.select("clip_id", "part_id").join(keys, "clip_id", "left_anti")
+
+
+def referential_violations(
+    clips: DataFrame, refs: DataFrame, broadcast_refs: bool = True
+) -> DataFrame:
+    miss = missing_refs(clips, refs, broadcast=broadcast_refs).select(
+        F.col("part_id"),
+        F.lit("referential").alias("constraint"),
+        F.col("clip_id"),
+        F.lit("clip_id").alias("column"),
+        F.lit("no_reference_row").alias("observed"),
+        F.lit("reference_row").alias("expected"),
+        F.lit("clip has no transcripts_ref row").alias("detail"),
+    )
+    orph = orphan_refs(clips, refs, broadcast=False).select(
+        F.lit(-1).cast("int").alias("part_id"),  # orphan refs belong to no clip partition
+        F.lit("referential").alias("constraint"),
+        F.col("clip_id"),
+        F.lit("clip_id").alias("column"),
+        F.lit("orphan_reference").alias("observed"),
+        F.lit("matching_clip").alias("expected"),
+        F.lit("transcripts_ref row has no matching clip").alias("detail"),
+    )
+    return miss.unionByName(orph)
+
+
+def referential_verdicts(
+    clips: DataFrame, refs: DataFrame, broadcast_refs: bool = True
+) -> DataFrame:
+    per_part = clips.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    miss = (
+        missing_refs(clips, refs, broadcast=broadcast_refs)
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    joined = per_part.join(miss, "part_id", "left").fillna({"n_missing": 0})
+    return joined.select(
+        F.col("part_id"),
+        F.lit("referential").alias("constraint"),
+        F.when(F.col("n_missing") > 0, F.lit(VERDICT_FAIL))
+        .otherwise(F.lit(VERDICT_PASS))
+        .alias("status"),
+        F.map_from_arrays(
+            F.array(F.lit("n_rows"), F.lit("n_missing")),
+            F.array(F.col("n_rows").cast("double"), F.col("n_missing").cast("double")),
+        ).alias("metrics"),
+        F.when(
+            F.col("n_missing") > 0,
+            F.format_string("%d clips without reference", F.col("n_missing")),
+        ).alias("detail"),
+    )
