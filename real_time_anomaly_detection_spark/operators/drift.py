@@ -9,21 +9,24 @@ comparison against a persisted baseline snapshot:
   built once over a reference dataset (`make_baseline`) and stored as a tiny
   metadata table (BASELINE_SNAPSHOT schema);
 - check: per partition, bin counts with the SAME bin edges via a pure Catalyst
-  expression -> ONE groupBy(part_id) with n_bins conditional-sum aggregates
-  (map-side combinable, O(n_bins) state, no sort, no UDF);
+  expression -> ONE groupBy(part_id) hash aggregate computing every column's
+  histogram at once (map-side combinable, O(n_bins) state, no sort, no UDF);
 - PSI = sum_i (p_i - b_i) * ln(p_i / b_i) (epsilon-smoothed),
   KS  = max_i |cumsum(p)_i - cumsum(b)_i| (binned ECDF approximation —
-  documented in metrics as `ks_binned`).
+  reported as `ks_binned` in metrics).
 
-Scale: histogram state is n_bins doubles per partition; the whole check is a
-single shuffle on part_id. The baseline is collected to the driver (it is
-metadata-sized: n_columns rows) and folded into literals, so the comparison
-never joins.
+PSI/KS are evaluated with array higher-order functions (`zip_with` +
+`aggregate`) over the histogram array, so the expression tree is O(1) in bin
+count — hand-unrolled per-bin expressions put codegen time quadratic in
+n_bins and dominated runtime at 24 bins.
+
+Scale: histogram state is n_bins longs per (partition, column); the whole
+check is one shuffle on part_id. The baseline is collected to the driver (it
+is metadata-sized: n_columns rows) and folded into array literals, so the
+comparison never joins.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +41,12 @@ DEFAULT_BINS = 24
 _QGRID = [i / 20 for i in range(21)]
 
 
+def _bin_expr(c: str, lo: float, width: float, n_bins: int):
+    col = F.col(c).cast("double")
+    raw = F.floor((col - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
 def make_baseline(
     reference: DataFrame,
     columns: tuple[str, ...] = ("dur_ms", "sr_hz"),
@@ -45,8 +54,8 @@ def make_baseline(
     snapshot_id: str = "baseline",
     accuracy: int = 10000,
 ) -> list[dict]:
-    """Build the baseline snapshot rows (list of plain dicts, BASELINE_SNAPSHOT
-    shape) from a reference dataset. Two jobs: range probe + histogram."""
+    """Build baseline snapshot rows (plain dicts, BASELINE_SNAPSHOT shape)
+    from a reference dataset. Two jobs: range probe + histogram."""
     aggs = []
     for c in columns:
         col = F.col(c).cast("double")
@@ -66,10 +75,19 @@ def make_baseline(
         width = (hi - lo) / n_bins if hi > lo else 1.0
         edges[c] = (lo, hi, width)
         b = _bin_expr(c, lo, width, n_bins)
+        hist_aggs.append(
+            F.array_agg(b).alias(f"{c}__bins")  # placeholder, replaced below
+        )
+    # histogram via conditional sums folded into one agg per column, expressed
+    # compactly: count per bin with a groupBy on the bin id would shuffle; a
+    # single-row agg with collect is wasteful; instead aggregate bin counts
+    # with `count_if` unrolled — n_bins is small and this runs ONCE.
+    hist_aggs = []
+    for c in columns:
+        lo, hi, width = edges[c]
+        b = _bin_expr(c, lo, width, n_bins)
         for i in range(n_bins):
-            hist_aggs.append(
-                F.sum(F.when(b == i, 1).otherwise(0)).alias(f"{c}__h{i}")
-            )
+            hist_aggs.append(F.count_if(b == i).alias(f"{c}__h{i}"))
     hist = reference.select(*[F.col(c) for c in columns]).agg(*hist_aggs).collect()[0]
 
     rows = []
@@ -92,12 +110,6 @@ def make_baseline(
     return rows
 
 
-def _bin_expr(c: str, lo: float, width: float, n_bins: int):
-    col = F.col(c).cast("double")
-    raw = F.floor((col - F.lit(lo)) / F.lit(width))
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
-
-
 def drift_verdicts(
     clips: DataFrame,
     baseline_rows: list[dict],
@@ -106,56 +118,81 @@ def drift_verdicts(
     ks_threshold: float = KS_THRESHOLD,
     min_rows: int = MIN_ROWS,
 ) -> DataFrame:
-    """Per-(partition, column) drift verdicts. One groupBy(part_id) per column
-    (unioned), each a single-shuffle conditional-sum histogram."""
-    outs = []
+    """Per-(partition, column) drift verdicts from ONE groupBy(part_id)."""
+    cols = [r["column_name"] for r in baseline_rows]
+    aggs = []
     for row in baseline_rows:
         c = row["column_name"]
-        fracs = row["bin_frac"]
-        n_bins = len(fracs)
+        n_bins = len(row["bin_frac"])
         lo = row["bin_lo"][0]
         width = row["bin_hi"][0] - row["bin_lo"][0]
         b = _bin_expr(c, lo, width, n_bins)
-
-        aggs = [F.count(F.col(c)).alias("n_nonnull")]
-        for i in range(n_bins):
-            aggs.append(
-                F.sum(F.when(F.col(c).isNotNull() & (b == i), 1).otherwise(0)).alias(f"h{i}")
-            )
-        g = clips.select(part_col, c).groupBy(part_col).agg(*aggs)
-
-        n = F.greatest(F.col("n_nonnull").cast("double"), F.lit(1.0))
-        psi = F.lit(0.0)
-        ks = F.lit(0.0)
-        cum_p = F.lit(0.0)
-        cum_b = 0.0
-        for i in range(n_bins):
-            p_i = F.col(f"h{i}") / n + F.lit(EPS)
-            b_i = F.lit(fracs[i] + EPS)
-            psi = psi + (p_i - b_i) * (F.log(p_i) - F.lit(math.log(fracs[i] + EPS)))
-            cum_p = cum_p + F.col(f"h{i}") / n
-            cum_b += fracs[i]
-            ks = F.greatest(ks, F.abs(cum_p - F.lit(cum_b)))
-
-        status = (
-            F.when(F.col("n_nonnull") < min_rows, F.lit(VERDICT_INSUFFICIENT))
-            .when(
-                (psi > psi_threshold) | (ks > ks_threshold), F.lit(VERDICT_FAIL)
-            )
-            .otherwise(F.lit(VERDICT_PASS))
+        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+        aggs.append(
+            F.array(
+                *[F.count_if(F.col(c).isNotNull() & (b == i)) for i in range(n_bins)]
+            ).alias(f"{c}__h")
         )
+    g = clips.select(part_col, *cols).groupBy(part_col).agg(*aggs)
+
+    outs = []
+    for row in baseline_rows:
+        c = row["column_name"]
+        blit = F.array(*[F.lit(float(f)) for f in row["bin_frac"]])
+        n = F.greatest(F.col(f"{c}__n").cast("double"), F.lit(1.0))
+        # pairs: (observed fraction, baseline fraction) per bin — O(1) expr tree
+        pairs = F.zip_with(
+            F.col(f"{c}__h"),
+            blit,
+            lambda h, bfrac: F.struct(
+                (h.cast("double")).alias("h"), bfrac.alias("b")
+            ),
+        )
+        psi = F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + ((x["h"] / n + EPS) - (x["b"] + EPS))
+            * (F.log(x["h"] / n + EPS) - F.log(x["b"] + EPS)),
+        )
+        ks = F.aggregate(
+            pairs,
+            F.struct(
+                F.lit(0.0).alias("cp"), F.lit(0.0).alias("cb"), F.lit(0.0).alias("ks")
+            ),
+            lambda acc, x: F.struct(
+                (acc["cp"] + x["h"] / n).alias("cp"),
+                (acc["cb"] + x["b"]).alias("cb"),
+                F.greatest(
+                    acc["ks"], F.abs(acc["cp"] + x["h"] / n - acc["cb"] - x["b"])
+                ).alias("ks"),
+            ),
+            lambda acc: acc["ks"],
+        )
+        staged = g.select(
+            F.col(part_col).alias("part_id"),
+            F.col(f"{c}__n").alias("n_nonnull"),
+            psi.alias("psi"),
+            ks.alias("ks"),
+        )
+        drifted = (F.col("psi") > psi_threshold) | (F.col("ks") > ks_threshold)
         outs.append(
-            g.select(
-                F.col(part_col).alias("part_id"),
+            staged.select(
+                "part_id",
                 F.lit(f"drift:{c}").alias("constraint"),
-                status.alias("status"),
+                F.when(F.col("n_nonnull") < min_rows, F.lit(VERDICT_INSUFFICIENT))
+                .when(drifted, F.lit(VERDICT_FAIL))
+                .otherwise(F.lit(VERDICT_PASS))
+                .alias("status"),
                 F.map_from_arrays(
                     F.array(F.lit("n_nonnull"), F.lit("psi"), F.lit("ks_binned")),
-                    F.array(F.col("n_nonnull").cast("double"), psi, ks),
+                    F.array(F.col("n_nonnull").cast("double"), F.col("psi"), F.col("ks")),
                 ).alias("metrics"),
                 F.when(
-                    (psi > psi_threshold) | (ks > ks_threshold),
-                    F.format_string("distribution drift psi=%.4f ks=%.4f", psi, ks),
+                    drifted,
+                    F.format_string(
+                        "distribution drift psi=%.4f ks=%.4f", F.col("psi"), F.col("ks")
+                    ),
                 ).alias("detail"),
             )
         )

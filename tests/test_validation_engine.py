@@ -1,0 +1,220 @@
+"""Golden end-to-end verdicts on the planted-violation fixture (FIXTURES.md §5)
+plus reference-exact edge semantics and resume invariants (SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_anomaly_detection_spark import engine, manifest as mf, synth
+from real_time_anomaly_detection_spark.operators import drift, stats, uniqueness
+
+CFG = synth.golden_config(n_clips=2000, clips_per_partition=200)
+CLEAN = synth.clean_config(n_clips=2000, clips_per_partition=200)
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return spark.createDataFrame(synth.clips_pdf(CFG)).cache()
+
+
+@pytest.fixture(scope="module")
+def refs(spark):
+    return synth.transcripts_ref_df(spark, CFG).cache()
+
+
+@pytest.fixture(scope="module")
+def baseline_rows(spark):
+    clean = spark.createDataFrame(synth.clips_pdf(CLEAN))
+    return drift.make_baseline(clean, ("dur_ms", "sr_hz"))
+
+
+@pytest.fixture(scope="module")
+def results(spark, clips, refs, baseline_rows):
+    vcfg = engine.ValidationConfig()
+    verdicts, violations = engine.validate(
+        spark,
+        clips,
+        refs=refs,
+        baseline_rows=baseline_rows,
+        ref_pcm_fn=lambda cid: synth.reference_pcm(CFG, cid),
+        cfg=vcfg,
+    )
+    return verdicts.toPandas(), violations.toPandas()
+
+
+def _status(vdf: pd.DataFrame, part: int, constraint: str) -> str:
+    rows = vdf[(vdf.part_id == part) & (vdf.constraint == constraint)]
+    assert len(rows) == 1, f"expected one verdict for ({part}, {constraint}), got\n{rows}"
+    return rows.status.iloc[0]
+
+
+def test_golden_verdict_matrix(results):
+    vdf, _ = results
+    # partition roles: 0 clean | 1 dup | 2 nulls | 3 zeros | 4 const | 5 drift
+    #                  6 corrupt pcm | 7 transcript mismatch | 8 empty | 9 clean
+    assert _status(vdf, 0, "uniqueness") == "pass"
+    assert _status(vdf, 1, "uniqueness") == "fail"
+    assert _status(vdf, 2, "column_stats:sr_hz") == "fail"  # high_missing
+    assert _status(vdf, 3, "column_stats:dur_ms") == "fail"  # stalled
+    assert _status(vdf, 4, "column_stats:dur_ms") == "fail"  # stuck
+    assert _status(vdf, 5, "drift:dur_ms") == "fail"
+    assert _status(vdf, 0, "drift:dur_ms") == "pass"
+    assert _status(vdf, 9, "drift:sr_hz") == "pass"
+    assert _status(vdf, 6, "pcm_check") == "fail"
+    assert _status(vdf, 0, "pcm_check") == "pass"
+    assert _status(vdf, 7, "transcript_check") == "fail"
+    # empty partition: insufficient everywhere it gates
+    assert _status(vdf, 8, "column_stats:dur_ms") == "insufficient_data"
+    assert _status(vdf, 8, "drift:dur_ms") == "insufficient_data"
+    # clean partitions pass column stats
+    for p in (0, 9):
+        assert _status(vdf, p, "column_stats:sr_hz") == "pass"
+        assert _status(vdf, p, "column_stats:dur_ms") == "pass"
+
+
+def test_violation_rows(results):
+    vdf, viol = results
+    dup = viol[(viol.constraint == "uniqueness") & (viol.part_id == 1)]
+    assert len(dup) > 0
+    # extra copies match the verdict metric
+    n_extra = vdf[(vdf.part_id == 1) & (vdf.constraint == "uniqueness")].metrics.iloc[0][
+        "n_extra_copies"
+    ]
+    assert dup.observed.astype(int).sub(1).sum() == int(n_extra)
+
+    orphans = viol[(viol.constraint == "referential") & (viol.part_id == -1)]
+    assert len(orphans) == int(CFG.orphan_ref_rate * CFG.n_clips)
+
+    pcm = viol[viol.constraint == "pcm_check"]
+    assert set(pcm.part_id) == {6}
+    tr = viol[viol.constraint == "transcript_check"]
+    assert 7 in set(tr.part_id)
+
+
+def test_referential_missing_refs(results):
+    vdf, _ = results
+    # missing_ref_rate plants clips without refs across partitions -> fail rows exist
+    ref_rows = vdf[vdf.constraint == "referential"]
+    assert (ref_rows.status == "fail").any()
+    assert len(ref_rows) == 10  # one verdict per partition
+
+
+def test_reference_edge_semantics(spark):
+    """Pinned ddof / null-denominator / empty-default quirks (SURVEY.md §7.4.3)."""
+    pdf = pd.DataFrame(
+        {
+            "part_id": [0] * 6,
+            "clip_id": [f"c{i}" for i in range(6)],
+            "sr_hz": [8000, 8000, None, 8000, 8000, 8000],
+            "dur_ms": [0, 0, 0, None, 10, 20],
+            "codec": ["pcm16"] * 6,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    prof = stats.profile(df, approx=False).toPandas().iloc[0]
+    n = 6.0
+    # null-INCLUSIVE denominators (anomaly_detector.py:514-515)
+    assert prof["dur_ms__n_zero"] / n == pytest.approx(3 / 6)
+    assert (n - prof["dur_ms__n_nonnull"]) / n == pytest.approx(1 / 6)
+    # sample variance ddof=1 (pandas .var(), anomaly_detector.py:516)
+    expected_var = pd.Series([0, 0, 0, 10, 20], dtype=float).var()
+    assert prof["dur_ms__var_samp"] == pytest.approx(expected_var)
+    # population std (np.std, anomaly_detector.py:117)
+    expected_std = float(np.std(np.array([0, 0, 0, 10, 20], dtype=float)))
+    assert prof["dur_ms__stddev_pop"] == pytest.approx(expected_std)
+    # exact percentiles = np.percentile linear interpolation (A5)
+    vals = np.array([0, 0, 0, 10, 20], dtype=float)
+    for q, idx in ((0.25, 1), (0.5, 2), (0.75, 3)):
+        assert prof["dur_ms__quantiles"][idx] == pytest.approx(
+            float(np.percentile(vals, q * 100))
+        )
+
+
+def test_empty_partition_defaults(spark):
+    # all-null column: null_ratio 1 -> fail high_missing; zero_ratio defaults 0
+    pdf = pd.DataFrame(
+        {
+            "part_id": [0, 0, 0],
+            "clip_id": ["a", "b", "c"],
+            "sr_hz": pd.array([None, None, None], dtype="Int32"),
+            "dur_ms": pd.array([None, None, None], dtype="Int32"),
+            "codec": ["pcm16"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    v = stats.stats_verdicts(stats.profile(df, approx=False)).toPandas()
+    row = v[v.constraint == "column_stats:dur_ms"].iloc[0]
+    assert row.status == "fail"
+    assert row.metrics["null_ratio"] == pytest.approx(1.0)
+    assert row.metrics["zero_ratio"] == pytest.approx(0.0)
+    assert row.metrics["variance"] == pytest.approx(0.0)
+
+
+def test_salted_equals_unsalted(spark, clips):
+    a = (
+        uniqueness.duplicate_keys(clips, salt_buckets=16)
+        .orderBy("part_id", "clip_id")
+        .toPandas()
+    )
+    b = (
+        uniqueness.duplicate_keys(clips, salt_buckets=1)
+        .orderBy("part_id", "clip_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_verdicts_invariant_under_repartition(spark, clips, refs, baseline_rows):
+    vcfg = engine.ValidationConfig(checks=("column_stats", "uniqueness", "drift"))
+    v1, _ = engine.validate(spark, clips, refs, baseline_rows, cfg=vcfg)
+    v2, _ = engine.validate(
+        spark, clips.repartition(13, "clip_id"), refs, baseline_rows, cfg=vcfg
+    )
+    a = v1.select("part_id", "constraint", "status").orderBy("part_id", "constraint").toPandas()
+    b = v2.select("part_id", "constraint", "status").orderBy("part_id", "constraint").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_from_manifest(spark, clips, refs, baseline_rows, tmp_path):
+    man_path = str(tmp_path / "manifest")
+    vcfg = engine.ValidationConfig(checks=("column_stats", "uniqueness"))
+    # phase 1: validate only partitions 0-4 (simulated partial run / crash)
+    first = clips.filter(F.col("part_id") <= 4)
+    engine.validate(spark, first, cfg=vcfg, run_id="run1", manifest_path=man_path)
+    man = mf.read_manifest(spark, man_path)
+    n_constraints = len(vcfg.constraint_names())
+    pend = mf.pending_partitions(clips.select("part_id"), man, n_constraints).toPandas()
+    assert set(pend.part_id) == {5, 6, 7, 8, 9}
+    # phase 2: resume completes only the pending ones
+    v2, _ = engine.incremental_validate(
+        spark, clips, man_path, refs=refs, cfg=vcfg, run_id="run2"
+    )
+    assert set(v2.toPandas().part_id) == {5, 6, 7, 8, 9}
+    # after resume nothing is pending and manifest covers all 10 partitions
+    man = mf.read_manifest(spark, man_path)
+    pend = mf.pending_partitions(clips.select("part_id"), man, n_constraints).toPandas()
+    assert len(pend) == 0
+    # final verdict set identical to a fresh full run (statuses per part/constraint)
+    full, _ = engine.validate(spark, clips, cfg=vcfg, run_id="full")
+    full_pdf = (
+        full.select("part_id", "constraint", "status")
+        .orderBy("part_id", "constraint")
+        .toPandas()
+    )
+    man_pdf = (
+        man.filter(F.col("constraint").isin(vcfg.constraint_names()))
+        .select("part_id", "constraint", "status")
+        .dropDuplicates(["part_id", "constraint"])
+        .orderBy("part_id", "constraint")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(full_pdf, man_pdf)
+
+
+def test_incremental_noop_when_complete(spark, clips, tmp_path):
+    man_path = str(tmp_path / "manifest2")
+    vcfg = engine.ValidationConfig(checks=("uniqueness",))
+    engine.validate(spark, clips, cfg=vcfg, run_id="r1", manifest_path=man_path)
+    v, _ = engine.incremental_validate(spark, clips, man_path, cfg=vcfg, run_id="r2")
+    assert v.count() == 0
