@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline: the validation engine's
+per-partition column-stats + threshold-verdict pass (the north rule's core,
+recasting the reference's health checker `anomaly_detector.py:495-576`)
+applied to the driver's `events` table, partitioned by event_type.
+
+`queries()` / `oracle_sql()` expose the full operator suite from
+`real_time_anomaly_detection_spark/queries.py` — one entry per operator
+family in SURVEY.md §2 plus the training-data ops (dedup, similarity, text,
+drift), each with a DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_anomaly_detection_spark.operators import stats  # noqa: E402
+from real_time_anomaly_detection_spark.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: column-stats profile + verdicts over sf0.001 events."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    prof = stats.profile(
+        ev,
+        columns=("value",),
+        categorical=("event_type",),
+        part_col="event_type",
+        approx=True,
+    )
+    return stats.stats_verdicts(prof, columns=("value",), part_col="event_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,950 @@
+"""Driver-facing query suite: every operator family from SURVEY.md §2 expressed
+over the driver's TPC-H-ish tables, each with a DuckDB oracle (ANSI SQL).
+
+Conventions (driver compare contract):
+- every computed/aggregate column is aliased IDENTICALLY in Spark and SQL;
+- double-valued aggregates are rounded to 6 decimals on BOTH sides (true
+  values carry <=4 decimals, so the 1e-6 grid is never on a rounding boundary
+  while float noise is ~1e-8 — order-of-summation differences cannot flip);
+- top-k queries carry deterministic tie-breaks.
+
+Layout: QUERIES maps name -> callable(spark, sf_dir) -> DataFrame;
+ORACLES maps the same name -> DuckDB SQL over pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Names absent from ORACLES are non-SQL-expressible (driver does a
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------------------
+# Relational core (S2-S5, P1-P5, A1-A6, O1-O4)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: group agg over lineitem (A1/A4/A6; SURVEY §2.4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_window_scan(spark, sf_dir):
+    """S2: time-range scan + projection + predicate (pushed to parquet)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12") & (F.col("value") > 5.0)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+_Q02_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12' AND value > 5.0
+"""
+
+
+def q03_topk_recent(spark, sf_dir):
+    """S5/O2: global top-k most recent (TakeOrderedAndProject, no full sort)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(100).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+_Q03_SQL = """
+SELECT event_id, ts, user_id, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q04_topk_per_key(spark, sf_dir):
+    """W2: per-key top-3 recent via row_number window."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "ts", "event_type", "rn")
+    )
+
+
+_Q04_SQL = """
+SELECT user_id, event_id, ts, event_type, rn FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q05_group_minmax(spark, sf_dir):
+    """A3: per-key count + min/max time + distinct users, sorted by count."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_Q05_SQL = """
+SELECT event_type, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q06_brand_revenue(spark, sf_dir):
+    """J1: fact ⨝ broadcast dim + agg (broadcast hash join)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q06_SQL = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q07_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filter, agg, top-10 with tie-break."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q07_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q08_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with two broadcast dims (join reordering)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+_Q08_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q09_anti_join(spark, sf_dir):
+    """J4 (referential-style anti-join): users who never purchased."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(buyers, "user_id", "left_anti")
+        .orderBy("user_id")
+    )
+
+
+_Q09_SQL = """
+SELECT DISTINCT user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+ORDER BY user_id
+"""
+
+
+def q10_semi_join(spark, sf_dir):
+    """left-semi (EXISTS): orders containing a big line item, count by priority."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(li.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q10_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+GROUP BY o_orderpriority
+"""
+
+
+def q11_uniqueness(spark, sf_dir):
+    """J5: duplicate-key detection via two-phase salted aggregation.
+
+    The salt phase is semantically a no-op (sum of partial counts) — proven by
+    the oracle: a plain GROUP BY ... HAVING count > 1.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+    salted = li.select(key.alias("k")).withColumn(
+        "_salt", F.pmod(F.xxhash64("k"), F.lit(16))
+    )
+    partial = salted.groupBy("k", "_salt").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        partial.groupBy("k")
+        .agg(F.sum("c").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select(F.col("k").alias("dup_key"), "n_copies")
+    )
+
+
+_Q11_SQL = """
+SELECT concat(l_orderkey, '#', l_linenumber) AS dup_key, count(*) AS n_copies
+FROM lineitem GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q12_latest_snapshot(spark, sf_dir):
+    """P5: latest row per key (filter-to-latest-snapshot)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+_Q12_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Detection recasts (U1-U6, U15, W3) — reference-exact semantics
+# --------------------------------------------------------------------------
+
+
+def q13_sudden_change(spark, sf_dir):
+    """W3: |first difference| > threshold per key series; first row never flags
+    (lag NULL -> false; anomaly_detector.py:156-161)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    diff = F.col("value") - F.lag("value", 1).over(w)
+    return (
+        ev.withColumn("diff", diff)
+        .filter(F.abs(F.col("diff")) > 80.0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_spikes"))
+    )
+
+
+_Q13_SQL = """
+SELECT user_id, count(*) AS n_spikes FROM (
+  SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+  FROM events) WHERE abs(diff) > 80.0
+GROUP BY user_id
+"""
+
+
+def q14_zscore_outliers(spark, sf_dir):
+    """U1: 3-sigma with POPULATION std (np.std, anomaly_detector.py:117)."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("value") > F.col("mu") + 3 * F.col("sigma"))
+            | (F.col("value") < F.col("mu") - 3 * F.col("sigma"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+
+
+_Q14_SQL = """
+WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+           FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n_outliers
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE e.value > s.mu + 3 * s.sigma OR e.value < s.mu - 3 * s.sigma
+GROUP BY e.event_type
+"""
+
+
+def q15_iqr_outliers(spark, sf_dir):
+    """U2: IQR fences from EXACT percentiles (np.percentile linear interp)."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+
+
+_Q15_SQL = """
+WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n_outliers
+FROM events e JOIN q ON e.event_type = q.event_type
+WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1) OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+GROUP BY e.event_type
+"""
+
+
+def q16_mad_outliers(spark, sf_dir):
+    """U3: MAD-scaled deviation > 3.5 (median/MAD per group, two-pass)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") / (1.4826 * F.nullif(F.col("mad"), F.lit(0.0))) > 3.5)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+
+
+_Q16_SQL = """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, abs(e.value - med.med) AS ad
+        FROM events e JOIN med ON e.event_type = med.event_type),
+mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+SELECT dev.event_type, count(*) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+WHERE dev.ad / (1.4826 * nullif(mad.mad, 0.0)) > 3.5
+GROUP BY dev.event_type
+"""
+
+
+def q17_health_check(spark, sf_dir):
+    """U15: zero/null ratios (NULL-inclusive denominators,
+    anomaly_detector.py:514-515), sample variance, threshold verdict."""
+    ev = load(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    g = ev.groupBy("event_type").agg(
+        n.alias("n_rows"),
+        _r6(F.sum(F.when(F.col("value") == 0, 1).otherwise(0)) / n).alias("zero_ratio"),
+        _r6((n - F.count("value")) / n).alias("null_ratio"),
+        _r6(F.var_samp("value")).alias("variance"),
+    )
+    return g.withColumn(
+        "status",
+        F.when(
+            (F.col("zero_ratio") > 0.3)
+            | (F.col("null_ratio") > 0.5)
+            | ((F.col("variance") < 0.1) & (F.col("null_ratio") < 0.9)),
+            F.lit("critical"),
+        ).otherwise(F.lit("healthy")),
+    )
+
+
+_Q17_SQL = """
+WITH g AS (
+  SELECT event_type, count(*) AS n_rows,
+         round(count_if(value = 0) * 1.0 / count(*), 6) AS zero_ratio,
+         round((count(*) - count(value)) * 1.0 / count(*), 6) AS null_ratio,
+         round(var_samp(value), 6) AS variance
+  FROM events GROUP BY event_type)
+SELECT *, CASE WHEN zero_ratio > 0.3 OR null_ratio > 0.5
+                OR (variance < 0.1 AND null_ratio < 0.9)
+          THEN 'critical' ELSE 'healthy' END AS status
+FROM g
+"""
+
+
+def q18_completeness(spark, sf_dir):
+    """A11: observed vs expected cadence per key (days active, events/day)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("days_active"),
+        _r6(F.count(F.lit(1)) / F.lit(30.0)).alias("events_per_day"),
+    )
+
+
+_Q18_SQL = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT CAST(ts AS DATE)) AS days_active,
+       round(count(*) / 30.0, 6) AS events_per_day
+FROM events GROUP BY user_id
+"""
+
+
+def q19_pivot(spark, sf_dir):
+    """W5: long -> wide pivot with an explicit (bounded) key set."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=kinds)
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count_if(event_type = 'click') AS click,
+       count_if(event_type = 'view') AS view,
+       count_if(event_type = 'purchase') AS purchase,
+       count_if(event_type = 'signup') AS signup,
+       count_if(event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+
+
+def q20_correlation(spark, sf_dir):
+    """A12: Pearson correlation per group (sample corr in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r6(F.corr(F.col("value"), F.unix_timestamp("ts").cast("double"))).alias("corr_value_time"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q20_SQL = """
+SELECT event_type, round(corr(value, epoch(ts)), 6) AS corr_value_time, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q21_json_extract(spark, sf_dir):
+    """F8: JSON shredding of the props column + agg."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        _r6(F.avg(k)).alias("avg_k"),
+        F.max(k.cast("long")).alias("max_k"),
+    )
+
+
+_Q21_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q22_haversine_pairs(spark, sf_dir):
+    """J2/F4: all-pairs spatial theta join on synthetic coordinates derived
+    deterministically from keys (haversine <= 200 km; broadcast NL join +
+    pure-Catalyst trig, cf. anomaly_detector.py:217-232)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 91 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    lat1, lat2 = F.radians(F.col("a.lat")), F.radians(F.col("b.lat"))
+    dlat = lat2 - lat1
+    dlon = F.radians(F.col("b.lon")) - F.radians(F.col("a.lon"))
+    h = F.sin(dlat / 2) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
+    dist = 2 * 6371.0 * F.asin(F.sqrt(h))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 200.0)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            _r6(F.col("dist_km")).alias("dist_km"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH c AS (SELECT c_custkey, (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,
+                  (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon FROM customer)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       round(2 * 6371.0 * asin(sqrt(
+         pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         cos(radians(a.lat)) * cos(radians(b.lat)) *
+         pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+FROM c a, c b
+WHERE a.c_custkey < b.c_custkey
+  AND 2 * 6371.0 * asin(sqrt(
+        pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        cos(radians(a.lat)) * cos(radians(b.lat)) *
+        pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 200.0
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops: text analysis, dedup, similarity
+# --------------------------------------------------------------------------
+
+_STOP_EN = ["the", "a", "and", "of", "to", "is", "in"]
+
+
+def q23_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + length stats per language."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        _r6(F.avg(F.size(toks))).alias("avg_tokens"),
+        _r6(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+_Q23_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(text, '\\s+'))) AS total_tokens,
+       round(avg(len(regexp_split_to_array(text, '\\s+'))), 6) AS avg_tokens,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q24_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length + short-doc flag."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOP_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        _r6(n_stop / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        _r6(F.length("text") / F.greatest(n_tok, F.lit(1))).alias("avg_token_len"),
+        (n_tok < 20).cast("int").alias("too_short"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r6(F.avg("stopword_ratio")).alias("mean_stopword_ratio"),
+        _r6(F.avg("avg_token_len")).alias("mean_token_len"),
+        F.sum("too_short").alias("n_too_short"),
+    )
+
+
+_Q24_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         round(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                 t -> t IN ('the','a','and','of','to','is','in'))) * 1.0
+               / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS stopword_ratio,
+         round(length(text) * 1.0
+               / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS avg_token_len,
+         CAST(len(regexp_split_to_array(text, '\\s+')) < 20 AS INT) AS too_short
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(stopword_ratio), 6) AS mean_stopword_ratio,
+       round(avg(avg_token_len), 6) AS mean_token_len,
+       sum(too_short) AS n_too_short
+FROM scored GROUP BY source
+"""
+
+
+def q25_dedup_exact(spark, sf_dir):
+    """Exact dedup: normalized-text hash groups with multiplicity > 1."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return (
+        d.groupBy(F.sha2(norm, 256).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_Q25_SQL = """
+SELECT sha256(lower(trim(text))) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q26_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: distinct-token Jaccard >= 0.5 on candidate pairs
+    generated by a token-posting self-join (the exact-verify stage of a
+    MinHash/LSH pipeline; SURVEY 'training-data ops')."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", _r6(jac))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_Q26_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_tok + sb.n_tok - n_common) >= 0.5
+"""
+
+
+def q27_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for probe vectors (vec_id < 10),
+    computed JVM-side with array HOFs (zip_with + aggregate) in float64."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("p_emb"), F.col("c_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(cand)
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            _r6(dot / (norm("p_emb") * norm("c_emb"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+_Q27_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         round(list_dot_product(p.emb, c.emb) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM e p, e c WHERE p.vec_id < 10 AND p.vec_id != c.vec_id)
+SELECT probe_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs) WHERE rank <= 5
+"""
+
+
+def q28_embedding_label_stats(spark, sf_dir):
+    """Vector column stats per label: count + mean L2 norm (array HOFs)."""
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), _r6(F.avg(norm)).alias("mean_norm")
+    )
+
+
+_Q28_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS mean_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q29_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (no SQL oracle: xxhash64-based minhash
+    is Spark-specific; exact-verified by the q26 Jaccard stage downstream).
+
+    8 minhash functions -> 4 bands of 2 -> band-bucket self-join -> distinct
+    candidate pairs. At scale this replaces q26's all-pairs posting join: the
+    shuffle key is (band, bucket) so only colliding docs ever meet.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
+
+    def _minhash(seed):
+        return F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))))
+
+    mh = [_minhash(i) for i in range(8)]
+    bands = d.select(
+        "doc_id",
+        *[
+            F.xxhash64(mh[2 * b], mh[2 * b + 1], F.lit(b)).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        x = bands.select("doc_id", F.col(f"band{b}").alias("bucket")).withColumn(
+            "band", F.lit(b)
+        )
+        a, c = x.alias("a"), x.alias("b")
+        pair = a.join(
+            c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.band") == F.col("b.band"))
+        ).filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    return cands.distinct()
+
+
+def q30_simhash(spark, sf_dir):
+    """SimHash document fingerprints (64-bit, token-hash sign aggregation) —
+    no SQL oracle (bit-level hashing); deterministic, tested via pytest."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    def _bit(b):
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    bits = [_bit(b) for b in range(16)]  # 16-bit simhash keeps the expression compact
+    fp = bits[0]
+    for x in bits[1:]:
+        fp = fp + x
+    return d.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+def q31_psi_drift(spark, sf_dir):
+    """U18 recast with an oracle: PSI of `value` distribution, second half of
+    the month vs first half, per event_type — same fixed-bin + eps-smoothed
+    formula the engine's drift check uses (operators/drift.py)."""
+    ev = load(spark, sf_dir, "events")
+    t0 = "2024-01-16"
+    eps = 1e-6
+    bin_ = F.least(F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(11))
+    b = ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count_if(F.col("ts") < t0).alias("nb"),
+        F.count_if(F.col("ts") >= t0).alias("no"),
+    )
+    w = W.partitionBy("event_type")
+    b = b.withColumn("snb", F.sum("nb").over(w)).withColumn("sno", F.sum("no").over(w))
+    p = F.col("no") / F.col("sno") + eps
+    q = F.col("nb") / F.col("snb") + eps
+    return b.groupBy("event_type").agg(
+        _r6(F.sum((p - q) * (F.log(p) - F.log(q)))).alias("psi"),
+        F.sum("nb").alias("n_base"),
+        F.sum("no").alias("n_obs"),
+    )
+
+
+_Q31_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 10), 0), 11) AS BIGINT) AS bin,
+         count_if(ts < TIMESTAMP '2024-01-16') AS nb,
+         count_if(ts >= TIMESTAMP '2024-01-16') AS no
+  FROM events GROUP BY 1, 2),
+t AS (SELECT *, sum(nb) OVER (PARTITION BY event_type) AS snb,
+             sum(no) OVER (PARTITION BY event_type) AS sno FROM b)
+SELECT event_type,
+       round(sum((no * 1.0 / sno + 1e-6 - (nb * 1.0 / snb + 1e-6)) *
+                 (ln(no * 1.0 / sno + 1e-6) - ln(nb * 1.0 / snb + 1e-6))), 6) AS psi,
+       sum(nb) AS n_base, sum(no) AS n_obs
+FROM t GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_window_scan": q02_window_scan,
+    "q03_topk_recent": q03_topk_recent,
+    "q04_topk_per_key": q04_topk_per_key,
+    "q05_group_minmax": q05_group_minmax,
+    "q06_brand_revenue": q06_brand_revenue,
+    "q07_shipping_priority": q07_shipping_priority,
+    "q08_regional_revenue": q08_regional_revenue,
+    "q09_anti_join": q09_anti_join,
+    "q10_semi_join": q10_semi_join,
+    "q11_uniqueness": q11_uniqueness,
+    "q12_latest_snapshot": q12_latest_snapshot,
+    "q13_sudden_change": q13_sudden_change,
+    "q14_zscore_outliers": q14_zscore_outliers,
+    "q15_iqr_outliers": q15_iqr_outliers,
+    "q16_mad_outliers": q16_mad_outliers,
+    "q17_health_check": q17_health_check,
+    "q18_completeness": q18_completeness,
+    "q19_pivot": q19_pivot,
+    "q20_correlation": q20_correlation,
+    "q21_json_extract": q21_json_extract,
+    "q22_haversine_pairs": q22_haversine_pairs,
+    "q23_token_stats": q23_token_stats,
+    "q24_quality_score": q24_quality_score,
+    "q25_dedup_exact": q25_dedup_exact,
+    "q26_ngram_jaccard": q26_ngram_jaccard,
+    "q27_embedding_topk": q27_embedding_topk,
+    "q28_embedding_label_stats": q28_embedding_label_stats,
+    "q29_minhash_lsh": q29_minhash_lsh,
+    "q30_simhash": q30_simhash,
+    "q31_psi_drift": q31_psi_drift,
+}
+
+ORACLES = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_window_scan": _Q02_SQL,
+    "q03_topk_recent": _Q03_SQL,
+    "q04_topk_per_key": _Q04_SQL,
+    "q05_group_minmax": _Q05_SQL,
+    "q06_brand_revenue": _Q06_SQL,
+    "q07_shipping_priority": _Q07_SQL,
+    "q08_regional_revenue": _Q08_SQL,
+    "q09_anti_join": _Q09_SQL,
+    "q10_semi_join": _Q10_SQL,
+    "q11_uniqueness": _Q11_SQL,
+    "q12_latest_snapshot": _Q12_SQL,
+    "q13_sudden_change": _Q13_SQL,
+    "q14_zscore_outliers": _Q14_SQL,
+    "q15_iqr_outliers": _Q15_SQL,
+    "q16_mad_outliers": _Q16_SQL,
+    "q17_health_check": _Q17_SQL,
+    "q18_completeness": _Q18_SQL,
+    "q19_pivot": _Q19_SQL,
+    "q20_correlation": _Q20_SQL,
+    "q21_json_extract": _Q21_SQL,
+    "q22_haversine_pairs": _Q22_SQL,
+    "q23_token_stats": _Q23_SQL,
+    "q24_quality_score": _Q24_SQL,
+    "q25_dedup_exact": _Q25_SQL,
+    "q26_ngram_jaccard": _Q26_SQL,
+    "q27_embedding_topk": _Q27_SQL,
+    "q28_embedding_label_stats": _Q28_SQL,
+    "q31_psi_drift": _Q31_SQL,
+    # q29_minhash_lsh, q30_simhash: hash-function-specific -> rows-only check
+}

@@ -1,0 +1,63 @@
+"""Replicates the driver's correctness gate locally: run each Spark query and
+its DuckDB oracle on the same parquet, compare row count + schema + values
+(order-insensitive, columns sorted by name)."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from real_time_anomaly_detection_spark.queries import ORACLES, QUERIES, TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
+    return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.sql(ORACLES[name]).df()
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            bad = [
+                (x, y)
+                for x, y in zip(a[c], b[c])
+                if not (x == y or (isinstance(x, float) and math.isnan(x) and math.isnan(y)))
+            ]
+            assert not bad, f"{name}.{c}: {bad[:5]}"
+        else:
+            mism = (a[c] != b[c])
+            assert not mism.any(), f"{name}.{c}: {a[c][mism].head()} vs {b[c][mism].head()}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
