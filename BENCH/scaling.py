@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (north rule: efficiency >= 0.8 from N to 4N).
+
+No real cluster exists in the sandbox, so per driver instruction this runs the
+IDENTICAL validation job on IDENTICAL input at two local parallelism levels
+(default local[8] vs local[32]) in separate processes, and reports throughput
+at both plus efficiency = (T_N / T_4N) / (4N/N).
+
+Usage: python BENCH/scaling.py [--clips 40000] [--cores 8,32] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RTAD_REPO"])
+from real_time_anomaly_detection_spark import engine, synth
+from real_time_anomaly_detection_spark.operators import drift
+from real_time_anomaly_detection_spark.session import get_spark
+import bench
+
+cores = int(os.environ["RTAD_CORES"])
+n_clips = int(os.environ["RTAD_CLIPS"])
+spark = get_spark(f"rtad-scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+cfg, clips, refs = bench.clips_table(spark, n_clips)
+clean = synth.scaled(synth.clean_config(), n_clips=4000, clips_per_partition=1000)
+baseline = drift.make_baseline(synth.clips_df(spark, clean), ("dur_ms", "sr_hz"))
+n_rows = clips.count()
+# warm-up: full untimed pass (JIT, codegen, python workers, page cache) so the
+# timed run measures steady-state compute at this parallelism level
+warm, warm_viol = engine.validate(spark, clips, refs=refs, baseline_rows=baseline,
+    ref_pcm_fn=lambda cid: synth.reference_pcm(cfg, cid), cfg=engine.ValidationConfig())
+warm.write.format("noop").mode("overwrite").save()
+warm_viol.write.format("noop").mode("overwrite").save()
+t0 = time.perf_counter()
+v, viol = engine.validate(spark, clips, refs=refs, baseline_rows=baseline,
+    ref_pcm_fn=lambda cid: synth.reference_pcm(cfg, cid), cfg=engine.ValidationConfig())
+v.write.format("noop").mode("overwrite").save()
+viol.write.format("noop").mode("overwrite").save()
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({"cores": cores, "sec": dt, "rows": n_rows,
+                              "clips_per_sec": n_rows / dt}))
+"""
+
+
+def run_level(cores: int, n_clips: int) -> dict:
+    env = dict(
+        os.environ, RTAD_REPO=REPO, RTAD_CORES=str(cores), RTAD_CLIPS=str(n_clips)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD], env=env, cwd=REPO, capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=40000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.cores.split(","))
+
+    r_lo = run_level(lo, args.clips)
+    r_hi = run_level(hi, args.clips)
+    eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (hi / lo)
+    result = {"N": r_lo, "4N": r_hi, "efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    with open(args.out, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 going from N to 4N executors.
+Sandbox protocol (no real cluster): identical validation job, identical input
+({r_lo['rows']} synthesized clips, full constraint suite: column stats,
+salted uniqueness, referential anti-joins, PSI/KS drift, per-row PCM decode +
+SNR + transcript checks), run at two local parallelism levels in separate
+processes. Warm-up pass excluded from timing.
+
+| parallelism | wall sec | validated clips/sec |
+| --- | --- | --- |
+| local[{lo}] (N) | {r_lo['sec']:.2f} | {r_lo['clips_per_sec']:.1f} |
+| local[{hi}] (4N) | {r_hi['sec']:.2f} | {r_hi['clips_per_sec']:.1f} |
+
+**Scaling efficiency = (clips/sec at 4N ÷ clips/sec at N) ÷ {hi//lo} = {eff:.3f}**
+(target ≥ 0.8)
+
+Reference baseline (BASELINE.md): the reference system is single-threaded
+(sequential per-station loop, `anomaly_detector.py:431`); its published figure
+is <1 min for 504 observations with ARIMA — the engine here validates
+{r_lo['rows']} clips (audio payload + 7 constraint families) in {r_hi['sec']:.1f}s
+at local[{hi}].
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

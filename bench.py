@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the clips validation pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "extra": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
+  BENCH_CLIPS         synthesized clips-table size for the validation bench
+                      (default 20000)
+  BENCH_QUERIES       comma-separated subset of query names (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_anomaly_detection_spark import engine, synth  # noqa: E402
+from real_time_anomaly_detection_spark.operators import drift  # noqa: E402
+from real_time_anomaly_detection_spark.queries import QUERIES  # noqa: E402
+from real_time_anomaly_detection_spark.session import get_spark  # noqa: E402
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def _force(df) -> int:
+    """Fully evaluate a DataFrame without driver transfer (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def clips_table(spark, n_clips: int):
+    """Synthesize (once, cached as parquet) the bench clips table."""
+    path = os.path.join(CACHE_DIR, f"clips_bench_{n_clips}")
+    cfg = synth.golden_config(n_clips=n_clips, clips_per_partition=max(n_clips // 20, 1))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        synth.clips_df(spark, cfg).write.mode("overwrite").parquet(path)
+        synth.transcripts_ref_df(spark, cfg).write.mode("overwrite").parquet(path + "_refs")
+    return cfg, spark.read.parquet(path), spark.read.parquet(path + "_refs")
+
+
+def bench_validation(spark, n_clips: int) -> tuple[float, int]:
+    """Time the full constraint-validation pipeline (the north-rule metric)."""
+    cfg, clips, refs = clips_table(spark, n_clips)
+    clean = synth.scaled(synth.clean_config(), n_clips=min(n_clips, 4000),
+                         clips_per_partition=max(min(n_clips, 4000) // 4, 1))
+    baseline = drift.make_baseline(synth.clips_df(spark, clean), ("dur_ms", "sr_hz"))
+    n_rows = clips.count()  # outside the timed region (input is materialized)
+    t0 = time.perf_counter()
+    verdicts, violations = engine.validate(
+        spark,
+        clips,
+        refs=refs,
+        baseline_rows=baseline,
+        ref_pcm_fn=lambda cid: synth.reference_pcm(cfg, cid),
+        cfg=engine.ValidationConfig(),
+    )
+    _force(verdicts)
+    _force(violations)
+    return time.perf_counter() - t0, n_rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    n_clips = int(os.environ.get("BENCH_CLIPS", "20000"))
+    sel = os.environ.get("BENCH_QUERIES")
+    names = sel.split(",") if sel else list(QUERIES)
+
+    spark = get_spark("rtad-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # warm the JVM/codegen path once on the smallest inputs
+    _force(QUERIES["q05_group_minmax"](spark, sf_dir))
+
+    qtimes = bench_queries(spark, sf_dir, names)
+    vsec, vrows = bench_validation(spark, n_clips)
+    qtimes["clips_validate"] = round(vsec, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": {
+                    "validated_clips_per_sec": round(vrows / vsec, 1),
+                    "n_clips": vrows,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

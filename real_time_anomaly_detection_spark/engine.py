@@ -122,9 +122,11 @@ def validate(
             )
         )
     if "audio" in cfg.checks and refs is not None and ref_pcm_fn is not None:
+        # persist the per-clip flag rows (tiny) so the decode/SNR UDF pass over
+        # the binary payload runs exactly once for verdicts AND violations
         checked = audio_checks.pcm_check(
             clips, refs, ref_pcm_fn, cfg.snr_threshold, cfg.broadcast_refs
-        )
+        ).persist()
         verdicts.append(audio_checks.audio_verdicts(checked))
         violations.append(audio_checks.audio_violations(checked, cfg.snr_threshold))
 

@@ -540,22 +540,47 @@ FROM events GROUP BY event_type
 
 
 def q22_haversine_pairs(spark, sf_dir):
-    """J2/F4: all-pairs spatial theta join on synthetic coordinates derived
-    deterministically from keys (haversine <= 200 km; broadcast NL join +
-    pure-Catalyst trig, cf. anomaly_detector.py:217-232)."""
+    """J2/F4: spatial theta join (haversine <= 200 km) on synthetic
+    coordinates derived deterministically from keys.
+
+    Scale path (SURVEY J2): grid-cell prefilter — equi-join on 4-degree cell
+    ids (one side exploded to its 3x3 neighborhood, lon wrap handled) BEFORE
+    the exact distance predicate, so candidates are O(points x density), not
+    O(points^2) like the reference's nested loop (anomaly_detector.py:224-232).
+    Cell size proof: |lat| < 60 by construction, so 200 km spans < 1.8 deg lat
+    and < 200/(111.19*cos 60) = 3.6 deg lon — both under one 4-deg cell.
+    The oracle is the exact all-pairs formulation; results are identical.
+    """
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
-        ((F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 37 % 12000) / 100.0 - 60.0).alias("lat"),
         ((F.col("c_custkey") * 91 % 36000) / 100.0 - 180.0).alias("lon"),
     )
-    a, b = c.alias("a"), c.alias("b")
+    cx = F.floor((F.col("lat") + 60.0) / 4.0)
+    cy = F.floor((F.col("lon") + 180.0) / 4.0)
+    a = c.select("*", cx.alias("cx"), cy.alias("cy")).alias("a")
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+          for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    b = (
+        c.select("*", cx.alias("bcx"), cy.alias("bcy"), F.explode(offsets).alias("o"))
+        .select(
+            F.col("c_custkey"),
+            F.col("lat"),
+            F.col("lon"),
+            (F.col("bcx") + F.col("o.dx")).alias("ncx"),
+            F.pmod(F.col("bcy") + F.col("o.dy"), F.lit(90)).alias("ncy"),
+        )
+        .alias("b")
+    )
     lat1, lat2 = F.radians(F.col("a.lat")), F.radians(F.col("b.lat"))
     dlat = lat2 - lat1
     dlon = F.radians(F.col("b.lon")) - F.radians(F.col("a.lon"))
     h = F.sin(dlat / 2) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
     dist = 2 * 6371.0 * F.asin(F.sqrt(h))
     return (
-        a.crossJoin(F.broadcast(b))
+        a.join(b, (F.col("a.cx") == F.col("b.ncx")) & (F.col("a.cy") == F.col("b.ncy")))
         .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= 200.0)
@@ -568,7 +593,7 @@ def q22_haversine_pairs(spark, sf_dir):
 
 
 _Q22_SQL = """
-WITH c AS (SELECT c_custkey, (c_custkey * 37 % 18000) / 100.0 - 90.0 AS lat,
+WITH c AS (SELECT c_custkey, (c_custkey * 37 % 12000) / 100.0 - 60.0 AS lat,
                   (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon FROM customer)
 SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
        round(2 * 6371.0 * asin(sqrt(
@@ -673,26 +698,27 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 
 def q26_ngram_jaccard(spark, sf_dir):
-    """Near-dup detection: distinct-token Jaccard >= 0.5 on candidate pairs
-    generated by a token-posting self-join (the exact-verify stage of a
-    MinHash/LSH pipeline; SURVEY 'training-data ops')."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("tok")
+    """Near-dup detection: distinct-token Jaccard >= 0.5 over candidate pairs.
+
+    This corpus has a degenerate (tiny) vocabulary, so a token-posting
+    self-join degenerates to all-pairs via an O(pairs x tokens) explode; the
+    efficient plan here is a broadcast cross join with JVM-side
+    `array_intersect` on pre-tokenized arrays (one codegen'd stage, no
+    explode). On a realistic corpus the LSH candidate generation (q29) feeds
+    this same exact-verify arithmetic.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # repartition the probe side: a broadcast NL join parallelizes over the
+    # stream side's partitions, and a single parquet file scans as one task
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")).repartition(64)
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    jac = n_common / (F.size("ta") + F.size("tb") - n_common)
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("jaccard", _r6(jac))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,99 @@
+"""Physical-plan assertions: the scale-critical properties (SURVEY.md §4).
+
+X1 predicate pushdown, X2 column pruning (never scan `bytes` for stats-only
+checks), X7 broadcast join selection — checked on the executed plan string so
+regressions that silently de-optimize get caught by pytest, not by a 100 TB
+bill.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_anomaly_detection_spark import synth
+from real_time_anomaly_detection_spark.operators import referential, stats, uniqueness
+from real_time_anomaly_detection_spark.queries import (
+    q02_window_scan,
+    q06_brand_revenue,
+    q22_haversine_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def clips_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("clips") / "clips")
+    cfg = synth.clean_config(n_clips=400, clips_per_partition=100)
+    synth.clips_df(spark, cfg).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_stats_profile_never_scans_bytes(spark, clips_parquet):
+    prof = stats.profile(clips_parquet)
+    rs = [line for line in full_plan(prof).splitlines() if "ReadSchema" in line]
+    assert rs, "expected a parquet scan with ReadSchema"
+    assert all("bytes" not in line for line in rs), f"bytes column not pruned: {rs}"
+
+
+def test_uniqueness_never_scans_bytes(spark, clips_parquet):
+    v = uniqueness.uniqueness_verdicts(clips_parquet)
+    rs = [line for line in full_plan(v).splitlines() if "ReadSchema" in line]
+    assert rs and all("bytes" not in line for line in rs)
+
+
+def test_window_scan_pushes_filters(spark):
+    df = q02_window_scan(spark, SF)
+    p = full_plan(df)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p or "GreaterThan" in p
+
+
+def test_brand_revenue_broadcasts_dim(spark):
+    df = q06_brand_revenue(spark, SF)
+    assert "BroadcastHashJoin" in plan_str(df)
+
+
+def test_referential_broadcast_vs_shuffle(spark, clips_parquet):
+    refs = clips_parquet.select("clip_id", "transcript")
+    bcast = referential.missing_refs(clips_parquet, refs, broadcast=True)
+    assert "BroadcastHashJoin" in plan_str(bcast) and "LeftAnti" in plan_str(bcast)
+    shuffled = referential.missing_refs(clips_parquet, refs, broadcast=False)
+    # without the hint Catalyst may still pick broadcast on tiny inputs; assert
+    # only that the anti-join semantics survive
+    assert "LeftAnti" in plan_str(shuffled)
+
+
+def test_spatial_join_is_equi_prefiltered(spark):
+    # the grid prefilter must produce an equi-join (hash/sort-merge/broadcast),
+    # NOT a nested-loop over all pairs
+    df = q22_haversine_pairs(spark, SF)
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in p.replace("BroadcastNestedLoopJoin", "", 0)
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_stats_is_partial_final_hash_agg(spark, clips_parquet):
+    # percentile_approx sketches force ObjectHashAggregate (correct: t-digest
+    # style state has no codegen); what matters is a two-phase (partial ->
+    # exchange -> final) aggregation so map-side combine happens before the
+    # shuffle on part_id.
+    p = plan_str(stats.profile(clips_parquet))
+    assert p.count("ObjectHashAggregate") + p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(part_id" in p
+    # exact-mode profile (tests/oracles) drops to plain codegen'd hash agg path
+    p_exact = plan_str(stats.profile(clips_parquet, approx=False))
+    assert "Exchange hashpartitioning(part_id" in p_exact
+
+
+def test_topk_uses_take_ordered(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = ev.orderBy(F.desc("ts")).limit(5)
+    assert "TakeOrderedAndProject" in plan_str(df)
