@@ -1,0 +1,140 @@
+"""spark-submit entrypoint (north rule: `spark-submit --py-files pkg.zip cli.py ...`).
+
+Subcommands mirror the engine API (SURVEY.md §7.1):
+
+  synth       generate a deterministic clips table (+ refs) as parquet
+  profile     per-partition column stats -> parquet
+  validate    full constraint run -> verdicts/violations parquet (+ manifest)
+  incremental resume: validate only partitions missing from the manifest
+
+On a real cluster: `spark-submit --py-files rtad_spark.zip -m cli ...` — the
+session builder is skipped when a SparkSession already exists (spark-submit
+provides one); locally it builds `local[N]`.
+
+Packaging: `python -m real_time_anomaly_detection_spark.cli package` writes
+`.cache/rtad_spark.zip` with the package tree for --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from .session import get_spark
+
+    return get_spark("rtad-cli", cores=args.cores or None)
+
+
+def _add_common(p):
+    p.add_argument("--cores", type=int, default=0)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="rtad-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth")
+    _add_common(p)
+    p.add_argument("--n-clips", type=int, default=10000)
+    p.add_argument("--clips-per-partition", type=int, default=1000)
+    p.add_argument("--golden", action="store_true", help="plant the golden violation knobs")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("profile")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("validate")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--refs")
+    p.add_argument("--baseline", help="parquet dir of a clean reference table for drift")
+    p.add_argument("--manifest")
+    p.add_argument("--out", required=True)
+    p.add_argument("--run-id")
+
+    p = sub.add_parser("incremental")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--refs")
+    p.add_argument("--baseline")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--run-id")
+
+    p = sub.add_parser("package")
+    p.add_argument("--out", default=".cache/rtad_spark.zip")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "package":
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pkg = os.path.join(root, "real_time_anomaly_detection_spark")
+        os.makedirs(os.path.dirname(os.path.join(root, args.out)) or ".", exist_ok=True)
+        out = os.path.join(root, args.out)
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for dirpath, _dirs, files in os.walk(pkg):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+        print(out)
+        return
+
+    spark = _spark(args)
+
+    if args.cmd == "synth":
+        from . import synth
+
+        if args.golden:
+            cfg = synth.golden_config(args.n_clips, args.clips_per_partition)
+        else:
+            cfg = synth.clean_config(args.n_clips, args.clips_per_partition)
+        synth.clips_df(spark, cfg).write.mode("overwrite").parquet(args.out)
+        synth.transcripts_ref_df(spark, cfg).write.mode("overwrite").parquet(args.out + "_refs")
+        print(args.out)
+        return
+
+    clips = spark.read.parquet(args.input)
+
+    if args.cmd == "profile":
+        from . import engine
+
+        engine.profile(clips).write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return
+
+    from . import engine
+    from .operators import drift
+
+    refs = spark.read.parquet(args.refs) if args.refs else None
+    baseline_rows = (
+        drift.make_baseline(spark.read.parquet(args.baseline)) if args.baseline else None
+    )
+    kw = dict(refs=refs, baseline_rows=baseline_rows, run_id=args.run_id)
+    if args.cmd == "validate":
+        verdicts, violations = engine.validate(
+            spark, clips, manifest_path=args.manifest, **kw
+        )
+    else:
+        verdicts, violations = engine.incremental_validate(
+            spark, clips, args.manifest, **kw
+        )
+    verdicts.write.mode("overwrite").parquet(os.path.join(args.out, "verdicts"))
+    violations.write.mode("overwrite").parquet(os.path.join(args.out, "violations"))
+    print(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -974,3 +974,47 @@ ORACLES = {
     "q31_psi_drift": _Q31_SQL,
     # q29_minhash_lsh, q30_simhash: hash-function-specific -> rows-only check
 }
+
+
+def q32_set_except(spark, sf_dir):
+    """Set operation (SURVEY §2.7): users active early in the month but gone
+    by the last week (EXCEPT / subtract)."""
+    ev = load(spark, sf_dir, "events")
+    early = ev.filter(F.col("ts") < "2024-01-08").select("user_id").distinct()
+    late = ev.filter(F.col("ts") >= "2024-01-24").select("user_id").distinct()
+    return early.subtract(late)
+
+
+_Q32_SQL = """
+SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24'
+"""
+
+
+def q33_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (grouping-sets family; not in the reference but
+    standard OLAP surface; grouping() disambiguates NULL-vs-subtotal)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+    )
+
+
+_Q33_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 6) AS sum_qty,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES["q32_set_except"] = q32_set_except
+QUERIES["q33_rollup"] = q33_rollup
+ORACLES["q32_set_except"] = _Q32_SQL
+ORACLES["q33_rollup"] = _Q33_SQL
