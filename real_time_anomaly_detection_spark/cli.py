@@ -6,6 +6,9 @@ Subcommands mirror the engine API (SURVEY.md §7.1):
   profile     per-partition column stats -> parquet
   validate    full constraint run -> verdicts/violations parquet (+ manifest)
   incremental resume: validate only partitions missing from the manifest
+  report      assemble the JSON report document from a verdicts table (S10)
+  export-csv  CSV export of any parquet table (S9, view_data.py:163-177)
+  upsert      keyed MERGE of a parquet batch into a target table (S7)
 
 On a real cluster: `spark-submit --py-files rtad_spark.zip -m cli ...` — the
 session builder is skipped when a SparkSession already exists (spark-submit
@@ -72,6 +75,25 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--run-id")
 
+    p = sub.add_parser("report")
+    _add_common(p)
+    p.add_argument("--verdicts", required=True, help="verdicts parquet dir")
+    p.add_argument("--out", required=True, help="report JSON file path")
+    p.add_argument("--run-id")
+
+    p = sub.add_parser("export-csv")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--single-file", action="store_true")
+
+    p = sub.add_parser("upsert")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="incoming batch parquet")
+    p.add_argument("--target", required=True, help="target parquet dir (created if absent)")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--ts-col", help="recency column (newest wins; ties -> incoming)")
+
     p = sub.add_parser("package")
     p.add_argument("--out", default=".cache/rtad_spark.zip")
 
@@ -93,6 +115,35 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     spark = _spark(args)
+
+    if args.cmd == "report":
+        from . import report
+
+        verdicts = spark.read.parquet(args.verdicts)
+        doc = report.write_report(verdicts, args.out, run_id=args.run_id)
+        print(f"{args.out}: {doc['summary']}")
+        return
+
+    if args.cmd == "export-csv":
+        from . import sinks
+
+        df = spark.read.parquet(args.input)
+        sinks.export_csv(df.coalesce(1) if args.single_file else df, args.out)
+        print(args.out)
+        return
+
+    if args.cmd == "upsert":
+        from . import sinks
+
+        sinks.upsert_parquet(
+            spark,
+            spark.read.parquet(args.input),
+            args.target,
+            [k.strip() for k in args.keys.split(",")],
+            args.ts_col,
+        )
+        print(args.target)
+        return
 
     if args.cmd == "synth":
         from . import synth

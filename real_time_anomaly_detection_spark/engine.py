@@ -11,7 +11,17 @@ pipeline:
 
 The per-station sequential loop of the reference (`anomaly_detector.py:431`)
 does not exist here: every constraint is a whole-table distributed job, and
-all constraints share one pruned, cached projection of the non-binary columns.
+all constraints share one pruned projection of the non-binary columns that is
+persisted for the duration of the run (call `spark.catalog.clearCache()` when
+the returned DataFrames are no longer needed — validate() cannot unpersist
+eagerly because its outputs are lazy).
+
+Failure handling (T7, reference `streaming_collector_sqlite.py:400-404`: log
+ERROR per cycle and continue): a constraint family whose plan cannot even be
+constructed yields a status='error' verdict row instead of aborting the run,
+and per-clip decode errors surface as status='error' partition verdicts via
+the audio check. Errored partitions are retried on resume
+(`manifest.completed_partitions` excludes them).
 """
 
 from __future__ import annotations
@@ -41,7 +51,11 @@ class ValidationConfig:
     psi_threshold: float = drift.PSI_THRESHOLD
     ks_threshold: float = drift.KS_THRESHOLD
     drift_min_rows: int = drift.MIN_ROWS
-    broadcast_refs: bool = True
+    # True: force broadcast of the refs side; False: force shuffle join;
+    # None (default): no hint — Catalyst/AQE picks by size stats. At 10^12
+    # rows the refs side is far past any broadcast threshold and a forced
+    # broadcast serializes on the driver, so auto is the scale-safe default.
+    broadcast_refs: bool | None = None
     approx: bool = True
     checks: tuple[str, ...] = field(
         default=("column_stats", "uniqueness", "referential", "drift", "audio")
@@ -58,6 +72,28 @@ class ValidationConfig:
         if "drift" in self.checks:
             names += [f"drift:{c}" for c in self.columns]
         if "audio" in self.checks:
+            names += ["pcm_check", "transcript_check"]
+        return names
+
+    def runnable_constraints(
+        self,
+        refs=None,
+        baseline_rows=None,
+        ref_pcm_fn=None,
+    ) -> list[str]:
+        """Constraint names validate() will actually evaluate given these
+        inputs — mirrors validate()'s gating exactly, so resume counts match
+        what was runnable (not what the full config wishes for)."""
+        names: list[str] = []
+        if "column_stats" in self.checks:
+            names += [f"column_stats:{c}" for c in self.columns]
+        if "uniqueness" in self.checks:
+            names.append("uniqueness")
+        if "referential" in self.checks and refs is not None:
+            names.append("referential")
+        if "drift" in self.checks and baseline_rows:
+            names += [f"drift:{c}" for c in self.columns]
+        if "audio" in self.checks and refs is not None and ref_pcm_fn is not None:
             names += ["pcm_check", "transcript_check"]
         return names
 
@@ -89,46 +125,79 @@ def validate(
 
     # One pruned projection shared by all metadata-only constraints; `bytes`
     # deliberately excluded so only the audio check pays for the payload scan.
-    meta_cols = list(dict.fromkeys([cfg.part_col, "clip_id", *cfg.columns, *cfg.categorical]))
-    meta = clips.select(*meta_cols)
+    # Persisted so the four metadata constraint families scan the source once.
+    # missing configured columns are dropped here so the failure surfaces as
+    # that family's status='error' verdict, not an abort before any family runs
+    audio_on = "audio" in cfg.checks and refs is not None and ref_pcm_fn is not None
+    wanted = [cfg.part_col, "clip_id", *cfg.columns, *cfg.categorical]
+    if audio_on:
+        wanted.append("transcript")  # transcript check shares the meta scan
+    meta_cols = [c for c in dict.fromkeys(wanted) if c in clips.columns]
+    meta = clips.select(*meta_cols).persist()
 
     verdicts: list[DataFrame] = []
     violations: list[DataFrame] = []
 
+    def _family(name: str, build) -> None:
+        """Build one constraint family's DAG; a construction failure becomes
+        a status='error' verdict row and the run continues (T7)."""
+        try:
+            build()
+        except Exception as exc:  # noqa: BLE001 — any family failure is recorded
+            verdicts.append(_error_verdict(spark, name, exc))
+
     if "column_stats" in cfg.checks:
-        prof = stats.profile(meta, cfg.columns, cfg.categorical, cfg.part_col, approx=cfg.approx)
-        verdicts.append(
-            stats.stats_verdicts(prof, cfg.columns, cfg.part_col, cfg.expected_rows, cfg.min_rows)
-        )
-    if "uniqueness" in cfg.checks:
-        verdicts.append(
-            uniqueness.uniqueness_verdicts(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
-        )
-        violations.append(
-            uniqueness.uniqueness_violations(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
-        )
-    if "referential" in cfg.checks and refs is not None:
-        verdicts.append(referential.referential_verdicts(meta, refs, cfg.broadcast_refs))
-        violations.append(referential.referential_violations(meta, refs, cfg.broadcast_refs))
-    if "drift" in cfg.checks and baseline_rows:
-        verdicts.append(
-            drift.drift_verdicts(
-                meta,
-                baseline_rows,
-                cfg.part_col,
-                cfg.psi_threshold,
-                cfg.ks_threshold,
-                cfg.drift_min_rows,
+        def _build_stats():
+            prof = stats.profile(
+                meta, cfg.columns, cfg.categorical, cfg.part_col, approx=cfg.approx
             )
-        )
-    if "audio" in cfg.checks and refs is not None and ref_pcm_fn is not None:
-        # persist the per-clip flag rows (tiny) so the decode/SNR UDF pass over
-        # the binary payload runs exactly once for verdicts AND violations
-        checked = audio_checks.pcm_check(
-            clips, refs, ref_pcm_fn, cfg.snr_threshold, cfg.broadcast_refs
-        ).persist()
-        verdicts.append(audio_checks.audio_verdicts(checked))
-        violations.append(audio_checks.audio_violations(checked, cfg.snr_threshold))
+            verdicts.append(
+                stats.stats_verdicts(
+                    prof, cfg.columns, cfg.part_col, cfg.expected_rows, cfg.min_rows
+                )
+            )
+        _family("column_stats", _build_stats)
+    if "uniqueness" in cfg.checks:
+        def _build_uniqueness():
+            verdicts.append(
+                uniqueness.uniqueness_verdicts(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
+            )
+            violations.append(
+                uniqueness.uniqueness_violations(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
+            )
+        _family("uniqueness", _build_uniqueness)
+    if "referential" in cfg.checks and refs is not None:
+        def _build_referential():
+            verdicts.append(referential.referential_verdicts(meta, refs, cfg.broadcast_refs))
+            violations.append(referential.referential_violations(meta, refs, cfg.broadcast_refs))
+        _family("referential", _build_referential)
+    if "drift" in cfg.checks and baseline_rows:
+        def _build_drift():
+            verdicts.append(
+                drift.drift_verdicts(
+                    meta,
+                    baseline_rows,
+                    cfg.part_col,
+                    cfg.psi_threshold,
+                    cfg.ks_threshold,
+                    cfg.drift_min_rows,
+                )
+            )
+        _family("drift", _build_drift)
+    if audio_on:
+        def _build_audio():
+            # pcm: scan -> mapInPandas, `bytes` never joined/shuffled; persist
+            # the per-clip flag rows (tiny) so the decode/SNR UDF pass over
+            # the binary payload runs exactly once for verdicts AND violations
+            checked = audio_checks.pcm_check(clips, ref_pcm_fn, cfg.snr_threshold).persist()
+            verdicts.append(audio_checks.pcm_verdicts(checked))
+            violations.append(audio_checks.pcm_violations(checked, cfg.snr_threshold))
+            # transcript: small-column equi-join against refs (off the shared
+            # cached meta projection)
+            tr = audio_checks.transcript_check(meta, refs, cfg.broadcast_refs).persist()
+            verdicts.append(audio_checks.transcript_verdicts(tr))
+            violations.append(audio_checks.transcript_violations(tr))
+        _family("audio", _build_audio)
 
     verdicts_df = _union(spark, verdicts, PARTITION_VERDICTS)
     violations_df = _union(spark, violations, VIOLATIONS)
@@ -156,7 +225,11 @@ def incremental_validate(
     """
     cfg = cfg or ValidationConfig()
     man = mf.read_manifest(spark, manifest_path)
-    n_constraints = len(cfg.constraint_names())
+    # Count only the constraints validate() will actually run given these
+    # inputs — with the full-config count, checks gated off by absent inputs
+    # (e.g. no ref_pcm_fn from the CLI) would leave every partition forever
+    # "pending" and re-validated each run.
+    n_constraints = len(cfg.runnable_constraints(refs, baseline_rows, ref_pcm_fn))
     pend = mf.pending_partitions(
         clips.select(cfg.part_col).alias("p").withColumnRenamed(cfg.part_col, "part_id"),
         man,
@@ -178,6 +251,23 @@ def incremental_validate(
         cfg=cfg,
         run_id=run_id,
         manifest_path=manifest_path,
+    )
+
+
+def _error_verdict(spark: SparkSession, family: str, exc: Exception) -> DataFrame:
+    """One status='error' verdict row for a family whose plan failed to build
+    (part_id=-1: the failure precedes any partition scan)."""
+    return spark.createDataFrame(
+        [
+            {
+                "part_id": -1,
+                "constraint": family,
+                "status": "error",
+                "metrics": {},
+                "detail": f"{type(exc).__name__}: {exc}"[:500],
+            }
+        ],
+        PARTITION_VERDICTS,
     )
 
 

@@ -6,16 +6,26 @@ transcript must equal the ground truth. Recasts the reference's per-record
 anomaly flagging (`anomaly_detector.py:423-425` mask -> records) at the row
 level.
 
-Spark shape (scale-first):
-- transcript equality is a plain equi-join + column compare — pure Catalyst,
-  broadcast when the ref side is small, sort-merge + AQE skew-join otherwise;
-- PCM decode/SNR runs in `mapInPandas` (Arrow batches, no per-row Python
-  round-trips). Results are batch-size independent: each clip's SNR is a pure
-  function of its own payload. `bytes` is scanned ONLY on this path (X2 —
-  stats/uniqueness/drift plans never read it);
-- `repartition(part_col)` before the UDF is deliberately NOT done — decode is
-  embarrassingly parallel per input split; verdict aggregation afterwards is
-  the only shuffle, on already-tiny (clip_id, flags) rows.
+Spark shape (scale-first) — THE invariant here is that the binary payload
+never enters a join, broadcast, or shuffle:
+
+- the PCM/SNR check needs nothing from the refs table (the reference PCM is a
+  function of clip_id), so it is a pure scan -> `mapInPandas` -> tiny-row
+  aggregation: `bytes` flows straight from the parquet scan into the Arrow
+  batch and dies inside the UDF. Round 1 joined clips⋈refs BEFORE the UDF —
+  if the optimizer picks a shuffle join there, the whole multi-TB payload
+  column shuffles; at 10^12 clips that plan is unrunnable. Split instead.
+- transcript equality is a plain equi-join + column compare on the SMALL
+  columns only (clip_id, transcript) — pure Catalyst, broadcast/sort-merge by
+  hint or AQE choice, skew-join splitting applies.
+- results are batch-size independent: each clip's SNR is a pure function of
+  its own payload. `bytes` is scanned ONLY on the pcm path (X2 — stats /
+  uniqueness / drift / transcript plans never read it).
+
+A clip whose payload cannot be decoded at all records `decode_error`
+(operational failure -> partition status 'error', the reference's
+ERROR-and-continue at `streaming_collector_sqlite.py:400-404`) — distinct
+from a decodable clip failing the SNR threshold (a data-quality FAIL).
 """
 
 from __future__ import annotations
@@ -34,36 +44,30 @@ SNR_THRESHOLD_DB = 30.0
 
 _CHECK_SCHEMA = (
     "part_id int, clip_id string, codec string, snr_db double, "
-    "pcm_ok boolean, transcript_ok boolean, n_samples long"
+    "pcm_ok boolean, n_samples long, decode_error string"
 )
 
 
 def pcm_check(
     clips: DataFrame,
-    refs: DataFrame,
     ref_pcm_fn: Callable[[str], np.ndarray],
     snr_threshold: float = SNR_THRESHOLD_DB,
-    broadcast_refs: bool = True,
 ) -> DataFrame:
-    """Per-clip check rows: SNR vs reference PCM + transcript equality.
+    """Per-clip PCM rows: decode + SNR vs reference PCM. No join anywhere —
+    scan-local map over Arrow batches.
 
     `ref_pcm_fn(clip_id) -> np.ndarray` supplies the reference decoded PCM
     (in production a lookup into a reference store; in tests the deterministic
     synthesizer oracle). It is shipped to executors once via closure capture.
     """
-    ref_side = refs.select(
-        F.col("clip_id"), F.col("transcript").alias("_ref_transcript")
-    )
-    ref_side = F.broadcast(ref_side) if broadcast_refs else ref_side
-    joined = clips.select(
-        "part_id", "clip_id", "bytes", "codec", "transcript"
-    ).join(ref_side, "clip_id", "left")
+    projected = clips.select("part_id", "clip_id", "bytes", "codec")
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             snr = np.empty(n, dtype=np.float64)
             n_samples = np.zeros(n, dtype=np.int64)
+            errs = np.full(n, None, dtype=object)
             payloads = pdf["bytes"].to_numpy()
             codec_arr = pdf["codec"].to_numpy()
             ids = pdf["clip_id"].to_numpy()
@@ -73,13 +77,9 @@ def pcm_check(
                     reference = ref_pcm_fn(ids[k])
                     n_samples[k] = observed.shape[0]
                     snr[k] = codecs.snr_db(reference, observed)
-                except Exception:
+                except Exception as exc:  # noqa: BLE001 — record, don't abort the task
                     snr[k] = float("-inf")
-            t_ok = (
-                pdf["transcript"].notna()
-                & pdf["_ref_transcript"].notna()
-                & (pdf["transcript"] == pdf["_ref_transcript"])
-            )
+                    errs[k] = f"{type(exc).__name__}: {exc}"[:200]
             yield pd.DataFrame(
                 {
                     "part_id": pdf["part_id"],
@@ -87,25 +87,64 @@ def pcm_check(
                     "codec": pdf["codec"],
                     "snr_db": snr,
                     "pcm_ok": snr >= snr_threshold,
-                    "transcript_ok": t_ok,
                     "n_samples": n_samples,
+                    "decode_error": errs,
                 }
             )
 
-    return joined.mapInPandas(check_batches, schema=_CHECK_SCHEMA)
+    return projected.mapInPandas(check_batches, schema=_CHECK_SCHEMA)
 
 
-def audio_violations(check_df: DataFrame, snr_threshold: float = SNR_THRESHOLD_DB) -> DataFrame:
-    bad_pcm = check_df.filter(~F.col("pcm_ok")).select(
+def transcript_check(
+    clips: DataFrame,
+    refs: DataFrame,
+    broadcast_refs: bool | None = None,
+) -> DataFrame:
+    """Per-clip transcript equality vs the ground-truth refs table — pure
+    Catalyst equi-join on the small columns only (never `bytes`).
+
+    INNER join: a clip with no ref row cannot be compared — that is the
+    referential constraint's violation (J4), not a transcript mismatch;
+    double-flagging it here would fail every partition the moment one ref row
+    is missing."""
+    ref_side = refs.select(F.col("clip_id"), F.col("transcript").alias("_ref_transcript"))
+    if broadcast_refs is True:
+        ref_side = F.broadcast(ref_side)
+    elif broadcast_refs is False:
+        ref_side = ref_side.hint("shuffle_merge")
+    joined = clips.select("part_id", "clip_id", "transcript").join(ref_side, "clip_id", "inner")
+    return joined.select(
+        "part_id",
+        "clip_id",
+        (
+            F.col("transcript").isNotNull()
+            & F.col("_ref_transcript").isNotNull()
+            & (F.col("transcript") == F.col("_ref_transcript"))
+        ).alias("transcript_ok"),
+    )
+
+
+def pcm_violations(check_df: DataFrame, snr_threshold: float = SNR_THRESHOLD_DB) -> DataFrame:
+    return check_df.filter(~F.col("pcm_ok")).select(
         F.col("part_id"),
         F.lit("pcm_check").alias("constraint"),
         F.col("clip_id"),
         F.lit("bytes").alias("column"),
-        F.format_string("snr_db=%.2f", F.col("snr_db")).alias("observed"),
+        F.when(
+            F.col("decode_error").isNotNull(),
+            F.concat(F.lit("decode_error:"), F.col("decode_error")),
+        )
+        .otherwise(F.format_string("snr_db=%.2f", F.col("snr_db")))
+        .alias("observed"),
         F.lit(f"snr_db>={snr_threshold:.0f}").alias("expected"),
-        F.lit("decoded PCM below SNR threshold vs reference").alias("detail"),
+        F.when(F.col("decode_error").isNotNull(), F.lit("payload failed to decode"))
+        .otherwise(F.lit("decoded PCM below SNR threshold vs reference"))
+        .alias("detail"),
     )
-    bad_tr = check_df.filter(~F.col("transcript_ok")).select(
+
+
+def transcript_violations(tr_df: DataFrame) -> DataFrame:
+    return tr_df.filter(~F.col("transcript_ok")).select(
         F.col("part_id"),
         F.lit("transcript_check").alias("constraint"),
         F.col("clip_id"),
@@ -114,41 +153,61 @@ def audio_violations(check_df: DataFrame, snr_threshold: float = SNR_THRESHOLD_D
         F.lit("equal_to_reference").alias("expected"),
         F.lit("transcript differs from reference").alias("detail"),
     )
-    return bad_pcm.unionByName(bad_tr)
 
 
-def audio_verdicts(check_df: DataFrame) -> DataFrame:
+def pcm_verdicts(check_df: DataFrame) -> DataFrame:
     g = check_df.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(~F.col("pcm_ok"), 1).otherwise(0)).alias("n_bad_pcm"),
-        F.sum(F.when(~F.col("transcript_ok"), 1).otherwise(0)).alias("n_bad_transcript"),
+        F.sum(F.when(~F.col("pcm_ok"), 1).otherwise(0)).alias("n_bad"),
+        F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
         F.avg("snr_db").alias("mean_snr_db"),
         F.min("snr_db").alias("min_snr_db"),
     )
-    rows = []
-    for name, bad_col in (("pcm_check", "n_bad_pcm"), ("transcript_check", "n_bad_transcript")):
-        rows.append(
-            g.select(
-                F.col("part_id"),
-                F.lit(name).alias("constraint"),
-                F.when(F.col(bad_col) > 0, F.lit(VERDICT_FAIL))
-                .otherwise(F.lit(VERDICT_PASS))
-                .alias("status"),
-                F.map_from_arrays(
-                    F.array(
-                        F.lit("n_rows"), F.lit("n_bad"), F.lit("mean_snr_db"), F.lit("min_snr_db")
-                    ),
-                    F.array(
-                        F.col("n_rows").cast("double"),
-                        F.col(bad_col).cast("double"),
-                        F.col("mean_snr_db"),
-                        F.col("min_snr_db"),
-                    ),
-                ).alias("metrics"),
-                F.when(
-                    F.col(bad_col) > 0,
-                    F.format_string("%d failing rows", F.col(bad_col)),
-                ).alias("detail"),
-            )
+    return g.select(
+        F.col("part_id"),
+        F.lit("pcm_check").alias("constraint"),
+        # decode errors are operational (status='error', retried on resume);
+        # low SNR stays a data-quality FAIL
+        F.when(F.col("n_errors") > 0, F.lit("error"))
+        .when(F.col("n_bad") > 0, F.lit(VERDICT_FAIL))
+        .otherwise(F.lit(VERDICT_PASS))
+        .alias("status"),
+        F.map_from_arrays(
+            F.array(
+                F.lit("n_rows"), F.lit("n_bad"), F.lit("mean_snr_db"), F.lit("min_snr_db")
+            ),
+            F.array(
+                F.col("n_rows").cast("double"),
+                F.col("n_bad").cast("double"),
+                F.col("mean_snr_db"),
+                F.col("min_snr_db"),
+            ),
+        ).alias("metrics"),
+        F.when(
+            F.col("n_errors") > 0,
+            F.format_string("%d undecodable rows", F.col("n_errors")),
         )
-    return rows[0].unionByName(rows[1])
+        .when(F.col("n_bad") > 0, F.format_string("%d failing rows", F.col("n_bad")))
+        .alias("detail"),
+    )
+
+
+def transcript_verdicts(tr_df: DataFrame) -> DataFrame:
+    g = tr_df.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("transcript_ok"), 1).otherwise(0)).alias("n_bad"),
+    )
+    return g.select(
+        F.col("part_id"),
+        F.lit("transcript_check").alias("constraint"),
+        F.when(F.col("n_bad") > 0, F.lit(VERDICT_FAIL))
+        .otherwise(F.lit(VERDICT_PASS))
+        .alias("status"),
+        F.map_from_arrays(
+            F.array(F.lit("n_rows"), F.lit("n_bad")),
+            F.array(F.col("n_rows").cast("double"), F.col("n_bad").cast("double")),
+        ).alias("metrics"),
+        F.when(F.col("n_bad") > 0, F.format_string("%d failing rows", F.col("n_bad"))).alias(
+            "detail"
+        ),
+    )

@@ -20,10 +20,13 @@ join-back) — no UDF. Exact reference semantics are pinned:
   (`:156-161`).
 
 Model-based detectors (U7-U11: ARIMA / STL / IsolationForest / LOF / OCSVM)
-require statsmodels/sklearn which may be absent; they are Arrow
-`applyInPandas` grouped-map fits gated behind import — plus a dependency-free
-numpy AR(1)-residual detector (`ar1_residual`) covering the "model residual"
-family when the libraries are unavailable.
+are Arrow `applyInPandas` grouped-map fits. When statsmodels/sklearn are
+installed they run the reference's exact library calls
+(anomaly_detector.py:163-213, seeds pinned); when absent, each falls back to
+a documented pure-numpy implementation of the same rule (AR(1) residuals for
+ARMA, moving-average STL-lite, a real 1-D isolation forest, full LOF, and a
+two-sided extremity quantile for the 1-D OCSVM region). `ar1_residual` stays
+as the explicitly dependency-free member of the family.
 """
 
 from __future__ import annotations
@@ -133,10 +136,13 @@ def modified_zscore(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     v = F.col(value_col).cast("double")
     stats = _mad_stats(df, key_col, value_col)
     joined = df.join(stats, key_col)
-    score = F.abs(0.6745 * (v - F.col("_med")) / F.col("_mad"))
+    # the reference's detect_zscore (anomaly_detector.py:146) flags NOTHING
+    # when the raw median-AD is 0 — the mean-abs-dev fallback exists only in
+    # detect_mad (:136) — so gate and scale on _mad_raw, never the fallback
+    score = F.abs(0.6745 * (v - F.col("_med")) / F.col("_mad_raw"))
     mask = (
         (F.col("_n") >= MIN_POINTS["modified_zscore"])
-        & (F.col("_mad") > 0)
+        & (F.col("_mad_raw") > 0)
         & (score > threshold)
     )
     return _flag_output(
@@ -226,35 +232,264 @@ def ar1_residual(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     return prepped.groupBy("_key").applyInPandas(fit, schema=_RECORD_SCHEMA)
 
 
-def _sklearn_detector(name: str):
-    def run(df: DataFrame, key_col: str, ts_col: str, value_col: str, **kw) -> DataFrame:
-        try:
-            import sklearn  # noqa: F401
-        except ImportError as e:  # pragma: no cover - environment dependent
-            raise NotImplementedError(
-                f"{name} requires scikit-learn (reference: anomaly_detector.py:188-213); "
-                "not installed in this environment — use ar1_residual / the "
-                "statistical detectors instead"
-            ) from e
-        raise NotImplementedError(f"{name}: sklearn present but wiring not yet implemented")
+def _grouped_mask_detector(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                           method: str, mask_fn) -> DataFrame:
+    """Shared Arrow `applyInPandas` harness for the model-based family: one
+    grouped-map fit per key over the ts-ordered series, `mask_fn(x) -> bool[]`
+    selects the anomaly records (mask -> records, anomaly_detector.py:423-425).
+    Groups are per-(key, window-partition) series — bounded, never the whole
+    table — so executor memory is O(series), embarrassingly parallel across
+    keys (SURVEY.md §2.10)."""
 
-    return run
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts", kind="stable")
+        x = pdf["_v"].to_numpy(dtype=np.float64)
+        mask = mask_fn(x)
+        out = pdf.loc[mask, ["_key", "_ts", "_v"]].rename(
+            columns={"_key": "key", "_ts": "ts", "_v": "value"}
+        )
+        out["method"] = method
+        return out
+
+    prepped = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return prepped.groupBy("_key").applyInPandas(fit, schema=_RECORD_SCHEMA)
 
 
-isolation_forest = _sklearn_detector("isolation_forest")
-lof = _sklearn_detector("lof")
-ocsvm = _sklearn_detector("ocsvm")
-
-
-def arima(df: DataFrame, key_col: str, ts_col: str, value_col: str, **kw) -> DataFrame:
+def _have(module: str) -> bool:
     try:
-        import statsmodels  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "arima requires statsmodels (reference: anomaly_detector.py:163-174); "
-            "not installed — ar1_residual is the dependency-free substitute"
-        ) from e
-    raise NotImplementedError("statsmodels present but wiring not yet implemented")
+        __import__(module)
+        return True
+    except ImportError:
+        return False
+
+
+def _ar1_resid(x: np.ndarray) -> np.ndarray:
+    """Closed-form AR(1) least-squares residuals (resid[0] = 0)."""
+    mu = np.nanmean(x)
+    xc = x - mu
+    denom = float(np.nansum(xc[:-1] * xc[:-1]))
+    phi = float(np.nansum(xc[1:] * xc[:-1]) / denom) if denom > 0 else 0.0
+    resid = np.empty_like(xc)
+    resid[0] = 0.0
+    resid[1:] = xc[1:] - phi * xc[:-1]
+    return resid
+
+
+def arima(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+          threshold: float = 3.0) -> DataFrame:
+    """U7: ARIMA(1,0,1) residual rule (anomaly_detector.py:163-174): fit per
+    key, flag |resid| > threshold * std(resid); < 20 points -> nothing.
+
+    statsmodels present: the reference's exact `ARIMA(values, order=(1,0,1))`
+    fit. Absent: closed-form AR(1) residuals stand in for the ARMA residuals
+    (documented approximation — no MA term; same thresholding rule)."""
+    use_sm = _have("statsmodels")
+
+    def mask_fn(x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        if n < MIN_POINTS["arima"] or np.any(np.isnan(x)):
+            return np.zeros(n, dtype=bool)
+        if use_sm:
+            try:
+                from statsmodels.tsa.arima.model import ARIMA as _ARIMA
+
+                resid = _ARIMA(x, order=(1, 0, 1)).fit().resid
+            except Exception:  # reference returns no anomalies on fit failure (:174)
+                return np.zeros(n, dtype=bool)
+        else:
+            resid = _ar1_resid(x)
+        s = float(np.std(resid))
+        if s == 0:
+            return np.zeros(n, dtype=bool)
+        mask = np.abs(resid) > threshold * s
+        if not use_sm:
+            mask[0] = False  # resid[0] is definitionally 0 in the AR(1) fallback
+        return mask
+
+    return _grouped_mask_detector(df, key_col, ts_col, value_col, "arima", mask_fn)
+
+
+def _stl_lite_resid(x: np.ndarray, period: int) -> np.ndarray:
+    """Pure-numpy STL-lite: moving-average trend (window=period, centered,
+    reflect-padded) + per-phase median seasonal of the detrended series.
+    Approximates statsmodels' robust STL well enough for the residual-MAD
+    anomaly rule; used only when statsmodels is absent."""
+    n = x.shape[0]
+    half = period // 2
+    padded = np.concatenate([x[half:0:-1], x, x[-2:-2 - half:-1]])
+    kernel = np.ones(period) / period
+    trend = np.convolve(padded, kernel, mode="same")[half:half + n]
+    detr = x - trend
+    seasonal = np.zeros(n)
+    for ph in range(period):
+        seasonal[ph::period] = np.median(detr[ph::period])
+    seasonal -= seasonal.mean()
+    return x - trend - seasonal
+
+
+def stl(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+        period: int = 6, threshold: float = 3.0) -> DataFrame:
+    """U8: STL residual rule (anomaly_detector.py:176-186): robust STL
+    decomposition per key, flag |resid - median| > threshold * 1.4826 * MAD;
+    < 2*period points or MAD == 0 -> nothing."""
+    use_sm = _have("statsmodels")
+
+    def mask_fn(x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        if n < 2 * period or np.any(np.isnan(x)):
+            return np.zeros(n, dtype=bool)
+        if use_sm:
+            try:
+                from statsmodels.tsa.seasonal import STL as _STL
+
+                resid = _STL(x, period=period, robust=True).fit().resid
+            except Exception:
+                return np.zeros(n, dtype=bool)
+        else:
+            resid = _stl_lite_resid(x, period)
+        med = np.median(resid)
+        mad_ = np.median(np.abs(resid - med))
+        if mad_ == 0:
+            return np.zeros(n, dtype=bool)
+        return np.abs(resid - med) > threshold * (1.4826 * mad_)
+
+    return _grouped_mask_detector(df, key_col, ts_col, value_col, "stl", mask_fn)
+
+
+# --- pure-numpy iForest/LOF used when sklearn is absent --------------------
+
+def _iforest_scores(x: np.ndarray, rng: np.random.Generator,
+                    n_trees: int = 100, subsample: int = 256) -> np.ndarray:
+    """1-D isolation forest anomaly scores (Liu et al. 2008). Each tree is
+    built on a subsample with uniform axis splits; on one dimension a tree
+    partitions the line into intervals, so routing every point is a single
+    vectorized `searchsorted` per tree."""
+
+    def c(m: float) -> float:  # average unsuccessful-search path length
+        if m <= 1:
+            return 0.0
+        return 2.0 * (np.log(m - 1) + 0.5772156649) - 2.0 * (m - 1) / m
+
+    n = x.shape[0]
+    sub = min(subsample, n)
+    depth_limit = int(np.ceil(np.log2(max(sub, 2))))
+    total_depth = np.zeros(n)
+    for _ in range(n_trees):
+        sample = np.sort(rng.choice(x, size=sub, replace=False))
+        bounds: list[float] = []   # interior split points, sorted by construction
+        leaf_depth: list[float] = []
+
+        def build(vals: np.ndarray, depth: int) -> None:
+            if depth >= depth_limit or vals.shape[0] <= 1 or vals[0] == vals[-1]:
+                leaf_depth.append(depth + c(float(vals.shape[0])))
+                return
+            split = rng.uniform(vals[0], vals[-1])
+            k = int(np.searchsorted(vals, split, side="right"))
+            k = min(max(k, 1), vals.shape[0] - 1)  # both children non-empty
+            build(vals[:k], depth + 1)
+            bounds.append(split)
+            build(vals[k:], depth + 1)
+
+        build(sample, 0)
+        leaf = np.searchsorted(np.asarray(bounds), x, side="right")
+        total_depth += np.asarray(leaf_depth)[leaf]
+    avg_depth = total_depth / n_trees
+    return 2.0 ** (-avg_depth / max(c(float(sub)), 1e-12))
+
+
+def _lof_scores(x: np.ndarray, k: int = 20) -> np.ndarray:
+    """Local outlier factor on a 1-D series (Breunig et al. 2000), O(n^2)
+    pairwise — groups are bounded per-key series, not whole tables."""
+    n = x.shape[0]
+    k = min(k, n - 1)
+    d = np.abs(x[:, None] - x[None, :])
+    np.fill_diagonal(d, np.inf)
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    rows = np.arange(n)[:, None]
+    kdist = np.partition(d, k - 1, axis=1)[:, k - 1]
+    reach = np.maximum(d[rows, idx], kdist[idx])  # reach-dist(p, o) per neighbor o
+    lrd = 1.0 / (reach.mean(axis=1) + 1e-10)
+    return lrd[idx].mean(axis=1) / lrd
+
+
+def isolation_forest(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                     contamination: float = 0.1) -> DataFrame:
+    """U9: IsolationForest (anomaly_detector.py:188-195), contamination=0.1,
+    random_state=42, label -1 = anomaly; < 10 points -> nothing.
+
+    sklearn present: the reference's exact call. Absent: pure-numpy isolation
+    forest (same algorithm, seeded PCG64(42)) flagging the top-contamination
+    fraction by anomaly score — same contract, not bit-identical to sklearn."""
+    use_sk = _have("sklearn")
+
+    def mask_fn(x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        if n < MIN_POINTS["isolation_forest"] or np.any(np.isnan(x)):
+            return np.zeros(n, dtype=bool)
+        if use_sk:
+            from sklearn.ensemble import IsolationForest as _IF
+
+            return _IF(contamination=contamination, random_state=42).fit_predict(
+                x.reshape(-1, 1)
+            ) == -1
+        scores = _iforest_scores(x, np.random.Generator(np.random.PCG64(42)))
+        return scores > np.quantile(scores, 1.0 - contamination)
+
+    return _grouped_mask_detector(df, key_col, ts_col, value_col, "isolation_forest", mask_fn)
+
+
+def lof(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+        contamination: float = 0.1) -> DataFrame:
+    """U10: LocalOutlierFactor (anomaly_detector.py:197-203), contamination=0.1;
+    < 10 points -> nothing. sklearn absent: pure-numpy LOF (k=20, sklearn's
+    default n_neighbors) flagging the top-contamination fraction by LOF score."""
+    use_sk = _have("sklearn")
+
+    def mask_fn(x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        if n < MIN_POINTS["lof"] or np.any(np.isnan(x)):
+            return np.zeros(n, dtype=bool)
+        if use_sk:
+            from sklearn.neighbors import LocalOutlierFactor as _LOF
+
+            return _LOF(contamination=contamination).fit_predict(x.reshape(-1, 1)) == -1
+        scores = _lof_scores(x)
+        return scores > np.quantile(scores, 1.0 - contamination)
+
+    return _grouped_mask_detector(df, key_col, ts_col, value_col, "lof", mask_fn)
+
+
+def ocsvm(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+          contamination: float = 0.1) -> DataFrame:
+    """U11: One-Class SVM (anomaly_detector.py:205-213): StandardScaler +
+    OneClassSVM(nu=contamination), label -1 = anomaly; < 10 points -> nothing.
+
+    sklearn absent: documented approximation — after standardization, a 1-D
+    RBF OCSVM's decision region is an interval around the data mass, so flag
+    the ~nu fraction with the largest |z| (two-sided extremity)."""
+    use_sk = _have("sklearn")
+
+    def mask_fn(x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        if n < MIN_POINTS["ocsvm"] or np.any(np.isnan(x)):
+            return np.zeros(n, dtype=bool)
+        if use_sk:
+            from sklearn.preprocessing import StandardScaler as _SS
+            from sklearn.svm import OneClassSVM as _OCSVM
+
+            z = _SS().fit_transform(x.reshape(-1, 1))
+            return _OCSVM(nu=contamination).fit_predict(z) == -1
+        sd = np.std(x)
+        if sd == 0:
+            return np.zeros(n, dtype=bool)
+        z = np.abs((x - np.mean(x)) / sd)
+        return z > np.quantile(z, 1.0 - contamination)
+
+    return _grouped_mask_detector(df, key_col, ts_col, value_col, "ocsvm", mask_fn)
 
 
 DETECTORS = {
@@ -265,6 +500,11 @@ DETECTORS = {
     "percentile": percentile_detector,
     "sudden_change": sudden_change,
     "ar1_residual": ar1_residual,
+    "arima": arima,
+    "stl": stl,
+    "isolation_forest": isolation_forest,
+    "lof": lof,
+    "ocsvm": ocsvm,
 }
 
 
@@ -273,8 +513,4 @@ def detect(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     """Dispatch mirroring the reference's method switch (anomaly_detector.py:416-419)."""
     if method in DETECTORS:
         return DETECTORS[method](df, key_col, ts_col, value_col, **kw)
-    if method in ("arima",):
-        return arima(df, key_col, ts_col, value_col, **kw)
-    if method in ("isolation_forest", "lof", "ocsvm"):
-        return _sklearn_detector(method)(df, key_col, ts_col, value_col, **kw)
     raise ValueError(f"unknown method {method!r}")

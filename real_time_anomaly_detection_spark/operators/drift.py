@@ -67,17 +67,17 @@ def make_baseline(
         ]
     ranges = reference.select(*[F.col(c) for c in columns]).agg(*aggs).collect()[0]
 
-    hist_aggs = []
     edges: dict[str, tuple[float, float, float]] = {}
     for c in columns:
+        if ranges[f"{c}__min"] is None:
+            raise ValueError(
+                f"make_baseline: column {c!r} is entirely NULL in the reference "
+                "dataset — no histogram can be built; drop it from `columns`"
+            )
         lo = float(ranges[f"{c}__min"])
         hi = float(ranges[f"{c}__max"])
         width = (hi - lo) / n_bins if hi > lo else 1.0
         edges[c] = (lo, hi, width)
-        b = _bin_expr(c, lo, width, n_bins)
-        hist_aggs.append(
-            F.array_agg(b).alias(f"{c}__bins")  # placeholder, replaced below
-        )
     # histogram via conditional sums folded into one agg per column, expressed
     # compactly: count per bin with a groupBy on the bin id would shuffle; a
     # single-row agg with collect is wasteful; instead aggregate bin counts

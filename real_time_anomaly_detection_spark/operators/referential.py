@@ -10,9 +10,10 @@ clips.clip_id`, both directions:
 
 Join strategy is explicit (north rule "broadcast/sort-merge anti-joins"):
 `broadcast=True` hints BroadcastHashJoin (parent fits in executors);
-`broadcast=False` leaves Catalyst/AQE to pick shuffled sort-merge/hash with
-skew-join splitting for hot keys. At 10^12 rows the clip side never
-broadcasts; the ref side may.
+`broadcast=False` hints SHUFFLE_MERGE (forces the sort-merge path);
+`broadcast=None` leaves Catalyst/AQE to pick by size stats, with skew-join
+splitting for hot keys. At 10^12 rows the clip side never broadcasts; the
+ref side may.
 """
 
 from __future__ import annotations
@@ -23,22 +24,27 @@ from pyspark.sql import functions as F
 from ..schemas import VERDICT_FAIL, VERDICT_PASS
 
 
-def orphan_refs(clips: DataFrame, refs: DataFrame, broadcast: bool = False) -> DataFrame:
+def _hint(df: DataFrame, broadcast: bool | None) -> DataFrame:
+    if broadcast is True:
+        return F.broadcast(df)
+    if broadcast is False:
+        return df.hint("shuffle_merge")
+    return df
+
+
+def orphan_refs(clips: DataFrame, refs: DataFrame, broadcast: bool | None = None) -> DataFrame:
     """Reference rows whose clip_id matches no clip."""
-    keys = clips.select("clip_id")
-    keys = F.broadcast(keys) if broadcast else keys
-    return refs.join(keys, "clip_id", "left_anti")
+    return refs.join(_hint(clips.select("clip_id"), broadcast), "clip_id", "left_anti")
 
 
-def missing_refs(clips: DataFrame, refs: DataFrame, broadcast: bool = True) -> DataFrame:
+def missing_refs(clips: DataFrame, refs: DataFrame, broadcast: bool | None = None) -> DataFrame:
     """Clips without a ground-truth transcript row (keeps part_id for verdicts)."""
-    keys = refs.select("clip_id")
-    keys = F.broadcast(keys) if broadcast else keys
+    keys = _hint(refs.select("clip_id"), broadcast)
     return clips.select("clip_id", "part_id").join(keys, "clip_id", "left_anti")
 
 
 def referential_violations(
-    clips: DataFrame, refs: DataFrame, broadcast_refs: bool = True
+    clips: DataFrame, refs: DataFrame, broadcast_refs: bool | None = None
 ) -> DataFrame:
     miss = missing_refs(clips, refs, broadcast=broadcast_refs).select(
         F.col("part_id"),
@@ -49,7 +55,7 @@ def referential_violations(
         F.lit("reference_row").alias("expected"),
         F.lit("clip has no transcripts_ref row").alias("detail"),
     )
-    orph = orphan_refs(clips, refs, broadcast=False).select(
+    orph = orphan_refs(clips, refs, broadcast=None).select(
         F.lit(-1).cast("int").alias("part_id"),  # orphan refs belong to no clip partition
         F.lit("referential").alias("constraint"),
         F.col("clip_id"),
@@ -62,7 +68,7 @@ def referential_violations(
 
 
 def referential_verdicts(
-    clips: DataFrame, refs: DataFrame, broadcast_refs: bool = True
+    clips: DataFrame, refs: DataFrame, broadcast_refs: bool | None = None
 ) -> DataFrame:
     per_part = clips.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
     miss = (

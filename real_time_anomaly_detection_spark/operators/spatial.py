@@ -122,7 +122,10 @@ def spatial_mad_check(
             F.stddev_pop("_nv_adj").alias("_std"),
         )
     )
-    scale = F.when(F.col("_mad") > 0, 1.4826 * F.col("_mad")).otherwise(
+    # the reference substitutes mad = std(nb_vals) or 1e-6 and STILL divides
+    # by 1.4826*mad (anomaly_detector.py:265-267) — the factor applies to the
+    # fallback too, else fallback scores come out 1.4826x too large
+    scale = 1.4826 * F.when(F.col("_mad") > 0, F.col("_mad")).otherwise(
         F.when(F.col("_std") > 0, F.col("_std")).otherwise(F.lit(1e-6))
     )
     out = snapshot.join(mad_df, "key", "left").select(

@@ -497,11 +497,11 @@ def q19_pivot(spark, sf_dir):
 
 _Q19_SQL = """
 SELECT CAST(ts AS DATE) AS day,
-       count_if(event_type = 'click') AS click,
-       count_if(event_type = 'view') AS view,
-       count_if(event_type = 'purchase') AS purchase,
-       count_if(event_type = 'signup') AS signup,
-       count_if(event_type = 'error') AS error
+       CAST(count_if(event_type = 'click') AS BIGINT) AS click,
+       CAST(count_if(event_type = 'view') AS BIGINT) AS view,
+       CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count_if(event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count_if(event_type = 'error') AS BIGINT) AS error
 FROM events GROUP BY 1
 """
 
@@ -630,7 +630,7 @@ def q23_token_stats(spark, sf_dir):
 
 _Q23_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_split_to_array(text, '\\s+'))) AS total_tokens,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
        round(avg(len(regexp_split_to_array(text, '\\s+'))), 6) AS avg_tokens,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang
@@ -674,7 +674,7 @@ WITH scored AS (
 SELECT source, count(*) AS n_docs,
        round(avg(stopword_ratio), 6) AS mean_stopword_ratio,
        round(avg(avg_token_len), 6) AS mean_token_len,
-       sum(too_short) AS n_too_short
+       CAST(sum(too_short) AS BIGINT) AS n_too_short
 FROM scored GROUP BY source
 """
 
@@ -700,12 +700,10 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 def q26_ngram_jaccard(spark, sf_dir):
     """Near-dup detection: distinct-token Jaccard >= 0.5 over candidate pairs.
 
-    This corpus has a degenerate (tiny) vocabulary, so a token-posting
-    self-join degenerates to all-pairs via an O(pairs x tokens) explode; the
-    efficient plan here is a broadcast cross join with JVM-side
-    `array_intersect` on pre-tokenized arrays (one codegen'd stage, no
-    explode). On a realistic corpus the LSH candidate generation (q29) feeds
-    this same exact-verify arithmetic.
+    SMALL-DATA ORACLE TWIN ONLY: this all-pairs broadcast cross join is
+    O(n^2) and exists to ground-truth the LSH path on small corpora. The
+    canonical scale-safe near-dup query is q34_neardup_lsh_verified (LSH
+    bucketed candidates -> exact Jaccard verify on candidates only).
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks")
@@ -811,41 +809,207 @@ FROM embeddings GROUP BY label
 """
 
 
-def q29_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (no SQL oracle: xxhash64-based minhash
-    is Spark-specific; exact-verified by the q26 Jaccard stage downstream).
+# MinHash parameters shared by q29/q34 and their DuckDB oracles. The token
+# hash is engine-portable: the first 15 hex chars of md5 (a value < 2^60)
+# interpreted as an integer, then universal-hashed mod a 1e9-scale prime —
+# every step computes identically in Spark and DuckDB, so the LSH pipeline
+# has a REAL value oracle (round-1's xxhash64 minhash was Spark-only).
+_MH_P = 1_000_000_007
+_MH_A = (472882049, 741103597, 284886941, 856201099,
+         323780743, 976369231, 297971941, 613651349)
+_MH_B = (86028157, 553105253, 15485867, 32452843,
+         982451653, 49979687, 67867967, 104395301)
+_MH_BANDS = 4  # 8 hashes -> 4 bands of 2
 
-    8 minhash functions -> 4 bands of 2 -> band-bucket self-join -> distinct
-    candidate pairs. At scale this replaces q26's all-pairs posting join: the
-    shuffle key is (band, bucket) so only colliding docs ever meet.
-    """
+
+def _minhash_bands_spark(toks):
+    """[(band, bucket)] array column: bucket = mh[2b] * P + mh[2b+1]."""
+    hm = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % _MH_P  # noqa: E731
+
+    def _hash_fn(a: int, b: int):
+        # factory closure: pyspark introspects HOF lambda arity, so the
+        # (a, b) constants must be captured, not passed as defaulted params
+        return lambda t: (hm(t) * a + b) % _MH_P
+
+    mh = [
+        F.array_min(F.transform(toks, _hash_fn(a, b)))
+        for a, b in zip(_MH_A, _MH_B)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (mh[2 * b] * _MH_P + mh[2 * b + 1]).alias("bucket"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+
+
+def _minhash_bands_sql() -> str:
+    """DuckDB CTEs `docs` (doc_id, toks) -> `bands` (doc_id, band, bucket)."""
+    hm = "((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) %% {p}) * {a} + {b}) %% {p}"
+    mhs = ",\n         ".join(
+        "list_min(list_transform(toks, t -> "
+        + hm.format(p=_MH_P, a=a, b=b).replace("%%", "%")
+        + f")) AS m{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b} * {_MH_P} + m{2*b+1} AS bucket FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+         FROM documents),
+mh AS (SELECT doc_id,
+         {mhs}
+       FROM docs),
+bands AS ({band_rows})
+"""
+
+
+def q29_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 8 minhash fns -> 4 bands of 2 ->
+    ONE explode to (doc_id, band, bucket) -> ONE self-join on (band, bucket)
+    -> distinct pairs. At scale this replaces q26's all-pairs join: the
+    shuffle key is (band, bucket) so only colliding docs ever meet, and the
+    bands table shuffles once (round 1 shuffled it 4x via per-band joins)."""
     d = load(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
-
-    def _minhash(seed):
-        return F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))))
-
-    mh = [_minhash(i) for i in range(8)]
-    bands = d.select(
-        "doc_id",
-        *[
-            F.xxhash64(mh[2 * b], mh[2 * b + 1], F.lit(b)).alias(f"band{b}")
-            for b in range(4)
-        ],
+    x = d.select("doc_id", F.explode(_minhash_bands_spark(toks)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cands = None
-    for b in range(4):
-        x = bands.select("doc_id", F.col(f"band{b}").alias("bucket")).withColumn(
-            "band", F.lit(b)
+    return (
+        x.alias("a")
+        .join(x.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_Q29_SQL = f"""
+WITH {_minhash_bands_sql()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q34_neardup_lsh_verified(spark, sf_dir):
+    """The canonical near-dup pipeline at scale: LSH candidate generation
+    (q29's bucketed self-join — never all-pairs) -> exact distinct-token
+    Jaccard >= 0.5 verification (q26's arithmetic) on candidates only.
+    Composition the round-1 review asked for: q26's O(n^2) cross join is now
+    just the small-data oracle twin."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks")
+    )
+    x = d.select("doc_id", F.explode(_minhash_bands_spark(F.col("toks"))).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cands = (
+        x.alias("a")
+        .join(x.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    jac = n_common / (F.size("ta") + F.size("tb") - n_common)
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", _r6(jac))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_Q34_SQL = f"""
+WITH {_minhash_bands_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(da.toks, db.toks)) * 1.0 /
+             (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))),
+             6) AS jaccard
+FROM cands JOIN docs da ON cands.doc_a = da.doc_id
+           JOIN docs db ON cands.doc_b = db.doc_id
+WHERE len(list_intersect(da.toks, db.toks)) * 1.0 /
+      (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) >= 0.5
+"""
+
+
+def q35_geojson_shred(spark, sf_dir):
+    """S1: GeoJSON-style structured ingestion — `from_json` with an explicit
+    nested schema + `explode(features)` + nested field access, the Spark
+    recast of the collector's schema shredding
+    (streaming_collector_sqlite.py:360-389: features[*].properties +
+    geometry.coordinates).
+
+    The FeatureCollection documents are built deterministically from `events`
+    rows in-query (`to_json(struct(...))` per feature, one doc per user), then
+    parsed back through the full shredding path. The oracle computes the same
+    aggregate directly from the base table, so a green result proves the
+    encode -> explicit-schema parse -> explode -> nested-access round trip is
+    lossless — never schema inference (X2/§1.3).
+    """
+    ev = load(spark, sf_dir, "events")
+    lon = (F.col("user_id") % 360 - 180).cast("double")
+    lat = (F.col("user_id") % 180 - 90).cast("double")
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.col("user_id"), F.col("event_type"), F.col("value")
+            ).alias("properties"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(lon, lat).alias("coordinates"),
+            ).alias("geometry"),
         )
-        a, c = x.alias("a"), x.alias("b")
-        pair = a.join(
-            c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.band") == F.col("b.band"))
-        ).filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    docs = ev.groupBy("user_id").agg(
+        F.concat(
+            F.lit('{"type":"FeatureCollection","features":['),
+            F.concat_ws(",", F.collect_list(feature)),
+            F.lit("]}"),
+        ).alias("doc")
+    )
+    fc_schema = (
+        "struct<type:string,features:array<struct<"
+        "type:string,"
+        "properties:struct<user_id:bigint,event_type:string,value:double>,"
+        "geometry:struct<type:string,coordinates:array<double>>>>>"
+    )
+    shredded = (
+        docs.select(F.from_json("doc", fc_schema).alias("fc"))
+        .select(F.explode("fc.features").alias("f"))
+        .select(
+            F.col("f.properties.event_type").alias("event_type"),
+            F.col("f.properties.value").alias("value"),
+            F.element_at("f.geometry.coordinates", 1).alias("lon"),
         )
-        cands = pair if cands is None else cands.unionByName(pair)
-    return cands.distinct()
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(F.avg("value")).alias("avg_value"),
+        _r6(F.avg("lon")).alias("avg_lon"),
+    )
+
+
+_Q35_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       round(avg(CAST(user_id % 360 - 180 AS DOUBLE)), 6) AS avg_lon
+FROM events GROUP BY event_type
+"""
 
 
 def q30_simhash(spark, sf_dir):
@@ -903,7 +1067,7 @@ t AS (SELECT *, sum(nb) OVER (PARTITION BY event_type) AS snb,
 SELECT event_type,
        round(sum((no * 1.0 / sno + 1e-6 - (nb * 1.0 / snb + 1e-6)) *
                  (ln(no * 1.0 / sno + 1e-6) - ln(nb * 1.0 / snb + 1e-6))), 6) AS psi,
-       sum(nb) AS n_base, sum(no) AS n_obs
+       CAST(sum(nb) AS BIGINT) AS n_base, CAST(sum(no) AS BIGINT) AS n_obs
 FROM t GROUP BY event_type
 """
 
@@ -940,6 +1104,8 @@ QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
     "q31_psi_drift": q31_psi_drift,
+    "q34_neardup_lsh_verified": q34_neardup_lsh_verified,
+    "q35_geojson_shred": q35_geojson_shred,
 }
 
 ORACLES = {
@@ -971,8 +1137,11 @@ ORACLES = {
     "q26_ngram_jaccard": _Q26_SQL,
     "q27_embedding_topk": _Q27_SQL,
     "q28_embedding_label_stats": _Q28_SQL,
+    "q29_minhash_lsh": _Q29_SQL,
     "q31_psi_drift": _Q31_SQL,
-    # q29_minhash_lsh, q30_simhash: hash-function-specific -> rows-only check
+    "q34_neardup_lsh_verified": _Q34_SQL,
+    "q35_geojson_shred": _Q35_SQL,
+    # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check
 }
 
 

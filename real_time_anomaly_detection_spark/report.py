@@ -1,0 +1,165 @@
+"""JSON report assembly: per-partition overall rollup + report document.
+
+Recasts the reference's only normative output schema — the JSON report
+(`anomaly_detector.py:672-676`, shape documented at
+`stream_detection/api/response.md:151-272`) with the per-station
+`overall_status` rollup (`anomaly_detector.py:567-576`: overall = 'critical'
+iff any variable report is critical, plus a 'no_data' state at `:549-555`) —
+onto the graft's per-partition constraint verdicts:
+
+- `overall_rollup`   -> one row per partition with `overall_status`
+                        (A14: bool_or-style max-severity rollup, pure Catalyst);
+- `partition_reports`-> one JSON document per partition (distributed,
+                        `to_json(struct(...))`, written with `df.write.json`);
+- `report_document`  -> the single top-level report dict
+                        (metadata + summary + partitions), collected to the
+                        driver — presentation-sized: O(partitions), never
+                        O(rows) — and dumped with `json.dump` exactly like the
+                        reference's exporter.
+
+Severity order (highest wins): error > fail > no_data > insufficient_data >
+pass. A partition where EVERY constraint is insufficient_data reports
+`no_data` (the reference's empty-station state); a mix reports the worst
+constraint state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEVERITY = {"pass": 0, "insufficient_data": 1, "fail": 2, "error": 3}
+
+
+def _sev_expr():
+    return (
+        F.when(F.col("status") == "error", 3)
+        .when(F.col("status") == "fail", 2)
+        .when(F.col("status") == "insufficient_data", 1)
+        .otherwise(0)
+    )
+
+
+def overall_rollup(verdicts: DataFrame) -> DataFrame:
+    """Per-partition overall status (U16/A14): max-severity across constraints,
+    with the all-insufficient -> 'no_data' special state."""
+    g = verdicts.groupBy("part_id").agg(
+        F.max(_sev_expr()).alias("_max_sev"),
+        F.min(_sev_expr()).alias("_min_sev"),
+        F.count(F.lit(1)).alias("n_constraints"),
+        F.sum(F.when(F.col("status") == "fail", 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(F.col("status") == "insufficient_data", 1).otherwise(0)).alias(
+            "n_insufficient"
+        ),
+    )
+    overall = (
+        F.when(F.col("_max_sev") == 3, F.lit("error"))
+        .when(F.col("_max_sev") == 2, F.lit("fail"))
+        .when((F.col("_max_sev") == 1) & (F.col("_min_sev") == 1), F.lit("no_data"))
+        .when(F.col("_max_sev") == 1, F.lit("insufficient_data"))
+        .otherwise(F.lit("pass"))
+    )
+    return g.select(
+        "part_id",
+        overall.alias("overall_status"),
+        "n_constraints",
+        "n_fail",
+        "n_error",
+        "n_insufficient",
+    )
+
+
+def partition_reports(verdicts: DataFrame) -> DataFrame:
+    """One row per partition: (part_id, overall_status, report_json) where
+    report_json is the per-partition document — distributed assembly via
+    `to_json(struct(...))`, suitable for `df.write.json` (S10)."""
+    con = F.struct(
+        F.col("constraint"),
+        F.col("status"),
+        F.col("metrics"),
+        F.col("detail"),
+    )
+    # deterministic constraint order; explicit comparator because the struct
+    # carries a map column (maps are not orderable by the default comparator)
+    by_name = lambda l, r: (  # noqa: E731
+        F.when(l["constraint"] < r["constraint"], -1)
+        .when(l["constraint"] > r["constraint"], 1)
+        .otherwise(0)
+    )
+    per_part = verdicts.groupBy("part_id").agg(
+        F.array_sort(F.collect_list(con), by_name).alias("constraints")
+    )
+    rolled = per_part.join(overall_rollup(verdicts), "part_id")
+    doc = F.to_json(
+        F.struct(
+            F.col("part_id"),
+            F.col("overall_status"),
+            F.col("n_constraints"),
+            F.col("n_fail"),
+            F.col("n_error"),
+            F.col("constraints"),
+        )
+    )
+    return rolled.select("part_id", "overall_status", doc.alias("report_json"))
+
+
+def write_partition_reports(verdicts: DataFrame, path: str) -> None:
+    """Distributed JSON-lines sink: one document per partition."""
+    partition_reports(verdicts).select("report_json").write.mode("overwrite").text(path)
+
+
+def report_document(
+    verdicts: DataFrame,
+    run_id: str | None = None,
+    metadata: dict | None = None,
+    timestamp: str | None = None,
+) -> dict:
+    """The single top-level report: metadata + summary + per-partition docs.
+
+    Collected to the driver — O(partitions) presentation data, mirroring the
+    reference's report dict (`anomaly_detector.py:645-676`)."""
+    rows = (
+        partition_reports(verdicts)
+        .orderBy("part_id")
+        .collect()
+    )
+    parts = [json.loads(r.report_json) for r in rows]
+    by_status: dict[str, int] = {}
+    for p in parts:
+        by_status[p["overall_status"]] = by_status.get(p["overall_status"], 0) + 1
+    return {
+        "metadata": {
+            "timestamp": timestamp
+            or dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
+            "run_id": run_id,
+            "engine": "real_time_anomaly_detection_spark",
+            **(metadata or {}),
+        },
+        "summary": {
+            "total_partitions": len(parts),
+            "passed_partitions": by_status.get("pass", 0),
+            "failed_partitions": by_status.get("fail", 0),
+            "errored_partitions": by_status.get("error", 0),
+            "no_data_partitions": by_status.get("no_data", 0),
+            "insufficient_partitions": by_status.get("insufficient_data", 0),
+        },
+        "partitions": parts,
+    }
+
+
+def write_report(
+    verdicts: DataFrame,
+    path: str,
+    run_id: str | None = None,
+    metadata: dict | None = None,
+) -> dict:
+    """Dump the single report document to `path` (reference:
+    `json.dump(reports, f, indent=2, default=str)`, anomaly_detector.py:674)."""
+    doc = report_document(verdicts, run_id=run_id, metadata=metadata)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2, default=str)
+    return doc

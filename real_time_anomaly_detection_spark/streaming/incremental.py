@@ -42,9 +42,14 @@ def stream_validate(
     processing_time: str = "600 seconds",
     max_files_per_trigger: int | None = None,
 ):
-    """Continuously validate newly-arrived clip files; exactly-once per file
-    via the stream checkpoint. Returns the StreamingQuery (caller stops it or
-    uses available_now to drain synchronously)."""
+    """Continuously validate newly-arrived clip files. The file-source
+    checkpoint makes each input file processed exactly once per SUCCESSFUL
+    epoch; foreachBatch itself is at-least-once (a failed epoch is retried
+    with the same epoch_id), so the sink is made idempotent by writing each
+    epoch into its own `epoch_id=<n>` partition directory with overwrite — a
+    retried epoch replaces its partial output instead of appending duplicates.
+    Returns the StreamingQuery (caller stops it or uses available_now to
+    drain synchronously)."""
     cfg = cfg or engine.ValidationConfig()
     reader = spark.readStream.schema(CLIPS)
     if max_files_per_trigger:
@@ -62,15 +67,16 @@ def stream_validate(
             cfg=cfg,
             run_id=f"epoch-{epoch_id}",
         )
+        # epoch-keyed overwrite = idempotent retry; epoch_id survives as a
+        # partition column when the output directory is read back
         (
-            verdicts.withColumn("epoch_id", F.lit(epoch_id))
-            .withColumn("processed_at", F.current_timestamp())
-            .write.mode("append")
-            .parquet(verdicts_path)
+            verdicts.withColumn("processed_at", F.current_timestamp())
+            .write.mode("overwrite")
+            .parquet(f"{verdicts_path}/epoch_id={epoch_id}")
         )
         if violations_path:
-            violations.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
-                violations_path
+            violations.write.mode("overwrite").parquet(
+                f"{violations_path}/epoch_id={epoch_id}"
             )
 
     writer = (

@@ -110,11 +110,13 @@ def test_ar1_residual_flags_level_break(spark):
     assert len(out) <= 3
 
 
-def test_model_detectors_gated(spark):
+def test_model_detectors_constant_series(spark):
+    # every model-based method runs (library or numpy fallback) and flags
+    # nothing on a constant series; full goldens in test_model_detectors.py
     df = series_df(spark, {"s1": [1.0] * 20})
-    for m in ("arima", "isolation_forest", "lof", "ocsvm"):
-        with pytest.raises(NotImplementedError):
-            detectors.detect(df, "key", "ts", "value", method=m).collect()
+    for m in ("arima", "stl", "isolation_forest", "lof", "ocsvm"):
+        out = detectors.detect(df, "key", "ts", "value", method=m).toPandas()
+        assert len(out) == 0, m
 
 
 def test_multi_key_single_job(spark):
