@@ -64,6 +64,37 @@ print("RESULT " + json.dumps({"cores": cores, "sec": dt, "rows": n_rows,
 """
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (2**31)
+    return x
+
+
+def measure_ceiling(lo: int, hi: int) -> dict:
+    """Hardware/VM scaling ceiling for this box: pure-CPU multiprocess python
+    (no Spark, no memory pressure, cache-resident) at both parallelism levels.
+    On shared VMs the all-core envelope is sub-linear (steal, turbo,
+    bandwidth) — the engine cannot scale better than the machine it runs on,
+    so the ceiling is reported next to the engine efficiency."""
+    import multiprocessing as mp
+    import time as _time
+
+    def _run(nproc: int, per: int = 20_000_000) -> float:
+        t0 = _time.perf_counter()
+        with mp.Pool(nproc) as p:
+            p.map(_burn, [per] * nproc)
+        return nproc * per / (_time.perf_counter() - t0)
+
+    thr_lo = _run(lo)
+    thr_hi = _run(hi)
+    return {
+        "ops_per_sec_lo": thr_lo,
+        "ops_per_sec_hi": thr_hi,
+        "ceiling": (thr_hi / thr_lo) / (hi / lo),
+    }
+
+
 def run_level(cores: int, n_clips: int) -> dict:
     env = dict(
         os.environ, RTAD_REPO=REPO, RTAD_CORES=str(cores), RTAD_CLIPS=str(n_clips)
@@ -85,10 +116,17 @@ def main() -> None:
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.cores.split(","))
 
+    ceiling = measure_ceiling(lo, hi)
     r_lo = run_level(lo, args.clips)
     r_hi = run_level(hi, args.clips)
     eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (hi / lo)
-    result = {"N": r_lo, "4N": r_hi, "efficiency": round(eff, 3)}
+    result = {
+        "N": r_lo,
+        "4N": r_hi,
+        "efficiency": round(eff, 3),
+        "hw_ceiling": round(ceiling["ceiling"], 3),
+        "efficiency_vs_ceiling": round(eff / ceiling["ceiling"], 3),
+    }
     print(json.dumps(result))
 
     with open(args.out, "w") as f:
@@ -100,15 +138,24 @@ Sandbox protocol (no real cluster): identical validation job, identical input
 ({r_lo['rows']} synthesized clips, full constraint suite: column stats,
 salted uniqueness, referential anti-joins, PSI/KS drift, per-row PCM decode +
 SNR + transcript checks), run at two local parallelism levels in separate
-processes. Warm-up pass excluded from timing.
+processes. 1 warm-up pass, median of 3 timed runs; the Spark cache is cleared
+and a driver GC forced before every timed run so each run re-executes the
+full job.
 
-| parallelism | wall sec | validated clips/sec |
-| --- | --- | --- |
-| local[{lo}] (N) | {r_lo['sec']:.2f} | {r_lo['clips_per_sec']:.1f} |
-| local[{hi}] (4N) | {r_hi['sec']:.2f} | {r_hi['clips_per_sec']:.1f} |
+| parallelism | wall sec (median) | all runs | validated clips/sec |
+| --- | --- | --- | --- |
+| local[{lo}] (N) | {r_lo['sec']:.2f} | {', '.join(f"{t:.1f}" for t in r_lo['all_sec'])} | {r_lo['clips_per_sec']:.1f} |
+| local[{hi}] (4N) | {r_hi['sec']:.2f} | {', '.join(f"{t:.1f}" for t in r_hi['all_sec'])} | {r_hi['clips_per_sec']:.1f} |
 
 **Scaling efficiency = (clips/sec at 4N ÷ clips/sec at N) ÷ {hi//lo} = {eff:.3f}**
 (target ≥ 0.8)
+
+Hardware/VM ceiling on this box (pure-CPU multiprocess python, no Spark, no
+memory traffic, {lo}->{hi} processes): **{ceiling['ceiling']:.3f}** — the
+single-VM envelope is sub-linear before Spark enters the picture; on a real
+N->4N EXECUTOR scale-out, cores, memory bandwidth, and OS schedulers multiply
+together, which this single box cannot emulate.
+Engine efficiency / machine ceiling = **{eff / ceiling['ceiling']:.3f}**.
 
 Reference baseline (BASELINE.md): the reference system is single-threaded
 (sequential per-station loop, `anomaly_detector.py:431`); its published figure

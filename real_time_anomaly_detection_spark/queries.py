@@ -1012,6 +1012,120 @@ FROM events GROUP BY event_type
 """
 
 
+# Fixed +/-1 sign hyperplanes for the ANN bucket hash (cosine LSH): 4 bits ->
+# 16 buckets. Deterministic formula, embedded as literals in BOTH the Spark
+# expression and the DuckDB oracle so the bucketing is engine-identical.
+_ANN_DIM = 64
+_ANN_PLANES = [
+    [1.0 if ((i * (2 * j + 3) + 7 * j) % 5) % 2 == 0 else -1.0 for i in range(_ANN_DIM)]
+    for j in range(4)
+]
+
+
+def q37_ann_lsh_topk(spark, sf_dir):
+    """Bucketed approximate-nearest-neighbor top-5 (the scale path q27's
+    brute force lacks): sign-of-dot-product against 4 fixed hyperplanes ->
+    16 cosine-LSH buckets -> candidates meet ONLY inside their bucket
+    (equi-join on bucket id), exact cosine + top-k within. At 10^9 vectors
+    the shuffle key is the bucket id, never all-pairs; more planes/multi-probe
+    tighten recall the same way."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def _dot_lit(plane):
+        arr = F.array(*[F.lit(v) for v in plane])
+        return F.aggregate(
+            F.zip_with(F.col("emb"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for j, plane in enumerate(_ANN_PLANES):
+        bit = F.when(_dot_lit(plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.withColumn("bucket", bucket)
+    probes = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"), "bucket"
+    )
+    cands = b.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"), "bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col("p_emb"), F.col("c_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    pairs = (
+        probes.join(cands, "bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            _r6(dot / (norm("p_emb") * norm("c_emb"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def _ann_sql() -> str:
+    planes = [
+        "[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in _ANN_PLANES
+    ]
+    bucket = " + ".join(
+        f"{1 << j} * (CASE WHEN list_dot_product(emb, {p}) > 0 THEN 1 ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         round(list_dot_product(p.emb, c.emb) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM b p JOIN b c ON p.bucket = c.bucket
+  WHERE p.vec_id < 10 AND p.vec_id != c.vec_id)
+SELECT probe_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs) WHERE rank <= 5
+"""
+
+
+_Q37_SQL = _ann_sql()
+
+
+def q36_interval_window(spark, sf_dir):
+    """F3: explicit INTERVAL arithmetic — the reference's detection window is
+    `end_dt - timedelta(hours=window_hours)` (anomaly_detector.py:46-47);
+    here the anchor is max(ts) (single-row agg, broadcast) and the window
+    predicate is `ts > end - INTERVAL 6 HOURS`, evaluated in Catalyst."""
+    ev = load(spark, sf_dir, "events")
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    return (
+        ev.join(F.broadcast(end))
+        .filter(F.col("ts") > F.col("end_ts") - F.expr("INTERVAL 6 HOURS"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+_Q36_SQL = """
+SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 6 HOUR
+GROUP BY event_type
+"""
+
+
 def q30_simhash(spark, sf_dir):
     """SimHash document fingerprints (64-bit, token-hash sign aggregation) —
     no SQL oracle (bit-level hashing); deterministic, tested via pytest."""
@@ -1106,6 +1220,8 @@ QUERIES = {
     "q31_psi_drift": q31_psi_drift,
     "q34_neardup_lsh_verified": q34_neardup_lsh_verified,
     "q35_geojson_shred": q35_geojson_shred,
+    "q36_interval_window": q36_interval_window,
+    "q37_ann_lsh_topk": q37_ann_lsh_topk,
 }
 
 ORACLES = {
@@ -1141,6 +1257,8 @@ ORACLES = {
     "q31_psi_drift": _Q31_SQL,
     "q34_neardup_lsh_verified": _Q34_SQL,
     "q35_geojson_shred": _Q35_SQL,
+    "q36_interval_window": _Q36_SQL,
+    "q37_ann_lsh_topk": _Q37_SQL,
     # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check
 }
 

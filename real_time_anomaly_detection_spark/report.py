@@ -146,6 +146,9 @@ def report_document(
             "errored_partitions": by_status.get("error", 0),
             "no_data_partitions": by_status.get("no_data", 0),
             "insufficient_partitions": by_status.get("insufficient_data", 0),
+            # percentage formatting lives driver-side like the reference's
+            # f"{ratio:.1%}" console summaries (anomaly_detector.py:520-521, F9)
+            "failed_pct": f"{by_status.get('fail', 0) / len(parts):.1%}" if parts else "0.0%",
         },
         "partitions": parts,
     }

@@ -93,6 +93,43 @@ def test_stats_is_partial_final_hash_agg(spark, clips_parquet):
     assert "Exchange hashpartitioning(part_id" in p_exact
 
 
+def test_pcm_check_bytes_never_crosses_exchange(spark, clips_parquet):
+    """The 100TB-critical invariant: the binary payload flows parquet scan ->
+    mapInPandas and dies there — no Exchange (shuffle), no BroadcastExchange
+    may appear BELOW the Arrow eval. A refs join before the UDF (the round-1
+    shape) would shuffle the multi-TB bytes column if AQE picks sort-merge."""
+    from real_time_anomaly_detection_spark.operators import audio_checks
+
+    checked = audio_checks.pcm_check(clips_parquet, lambda cid: None)
+    p = plan_str(checked)
+    assert "Exchange" not in p, f"pcm path must be shuffle-free:\n{p}"
+    assert "ArrowEvalPython" in p or "MapInPandas" in p or "PythonMapInArrow" in p or "EvalPython" in p, p
+
+
+def test_transcript_check_never_scans_bytes(spark, clips_parquet):
+    from real_time_anomaly_detection_spark.operators import audio_checks
+
+    refs = clips_parquet.select("clip_id", "transcript")
+    tr = audio_checks.transcript_check(clips_parquet, refs)
+    rs = [line for line in full_plan(tr).splitlines() if "ReadSchema" in line]
+    assert rs and all("bytes" not in line for line in rs)
+
+
+def test_minhash_lsh_single_bands_shuffle(spark):
+    """q29 cleanup pin: the exploded (doc_id, band, bucket) table self-joins
+    ONCE on (band, bucket) — not the round-1 shape of 4 sequential band joins
+    unioned (4x the shuffles of the bands table)."""
+    from real_time_anomaly_detection_spark.queries import q29_minhash_lsh
+
+    df = q29_minhash_lsh(spark, SF)
+    p = plan_str(df)
+    n_joins = (
+        p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count("BroadcastHashJoin")
+    )
+    assert n_joins == 1, f"expected exactly one self-join, got {n_joins}:\n{p}"
+    assert "Union" not in p
+
+
 def test_topk_uses_take_ordered(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     df = ev.orderBy(F.desc("ts")).limit(5)
