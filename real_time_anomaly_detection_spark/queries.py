@@ -1126,6 +1126,83 @@ GROUP BY event_type
 """
 
 
+# Language-ID stopword profiles. Tiny on purpose: the heuristic is
+# marker-token counting (the degenerate first stage of an n-gram profile
+# classifier); the synthetic corpus's text does not actually vary by language
+# (all docs share one vocabulary), so the correctness statement here is
+# engine parity on the SPEC (Spark == DuckDB on identical scoring), not label
+# recovery.
+_LANGID_PROFILES = [
+    ("en", ["the", "a", "and", "of", "to", "is", "in", "fast", "slow"]),
+    ("fr", ["le", "la", "les", "et", "de", "un", "une", "est"]),
+    ("es", ["el", "los", "las", "y", "de", "un", "una", "es"]),
+    ("de", ["der", "die", "das", "und", "ein", "eine", "ist"]),
+]
+
+
+def q38_language_id(spark, sf_dir):
+    """Text analysis: language identification via marker-token scoring —
+    score_l = |tokens in lang l's stopword profile|, predicted = argmax
+    (ties broken by profile order), 'und' when every score is 0. Pure
+    Catalyst array HOFs per row; one hash agg for the rollup."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+
+    def _score(words):
+        stop_arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+    scores = [(lang, _score(words)) for lang, words in _LANGID_PROFILES]
+    best = None
+    for lang, sc in scores:
+        cur = F.struct(sc.alias("score"), F.lit(lang).alias("lang"))
+        # strict > : earlier profile wins ties (deterministic, both engines)
+        best = cur if best is None else F.when(sc > best["score"], cur).otherwise(best)
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    scored = d.select(
+        pred.alias("lang_pred"),
+        (best["score"] / n_tok).alias("_conf"),
+    )
+    return scored.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r6(F.avg("_conf")).alias("mean_confidence"),
+    )
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, words in _LANGID_PROFILES:
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{lang}"
+        )
+    # argmax with earlier-profile-wins ties: fold right-to-left so earlier
+    # profiles override on strict >
+    langs = [lang for lang, _ in _LANGID_PROFILES]
+    best_score = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    pick = "'und'"
+    for lang in reversed(langs):
+        pick = f"CASE WHEN s_{lang} = best AND best > 0 THEN '{lang}' ELSE {pick} END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+scored AS (
+  SELECT doc_id, toks, {', '.join(score_cols)} FROM toks),
+best AS (
+  SELECT *, {best_score} AS best FROM scored),
+pred AS (
+  SELECT {pick} AS lang_pred,
+         best * 1.0 / greatest(len(toks), 1) AS conf
+  FROM best)
+SELECT lang_pred, count(*) AS n_docs, round(avg(conf), 6) AS mean_confidence
+FROM pred GROUP BY lang_pred
+"""
+
+
+_Q38_SQL = _langid_sql()
+
+
 def q30_simhash(spark, sf_dir):
     """SimHash document fingerprints (64-bit, token-hash sign aggregation) —
     no SQL oracle (bit-level hashing); deterministic, tested via pytest."""
@@ -1222,6 +1299,7 @@ QUERIES = {
     "q35_geojson_shred": q35_geojson_shred,
     "q36_interval_window": q36_interval_window,
     "q37_ann_lsh_topk": q37_ann_lsh_topk,
+    "q38_language_id": q38_language_id,
 }
 
 ORACLES = {
@@ -1259,6 +1337,7 @@ ORACLES = {
     "q35_geojson_shred": _Q35_SQL,
     "q36_interval_window": _Q36_SQL,
     "q37_ann_lsh_topk": _Q37_SQL,
+    "q38_language_id": _Q38_SQL,
     # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check
 }
 
