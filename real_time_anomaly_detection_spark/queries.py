@@ -874,7 +874,14 @@ def q29_minhash_lsh(spark, sf_dir):
     ONE explode to (doc_id, band, bucket) -> ONE self-join on (band, bucket)
     -> distinct pairs. At scale this replaces q26's all-pairs join: the
     shuffle key is (band, bucket) so only colliding docs ever meet, and the
-    bands table shuffles once (round 1 shuffled it 4x via per-band joins)."""
+    bands table shuffles once (round 1 shuffled it 4x via per-band joins).
+
+    Skew note: this synthetic corpus is degenerate (tiny vocabulary, ~73% of
+    all pairs are true near-dups), so a few giant buckets emit most pairs
+    from single join tasks. On a real corpus the standard mitigation is a
+    bucket-size cap (drop buckets with > B members — they carry near-zero
+    information); it is NOT applied here because the oracle-checked recall
+    target depends on those buckets on this corpus."""
     d = load(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
     x = d.select("doc_id", F.explode(_minhash_bands_spark(toks)).alias("bb")).select(

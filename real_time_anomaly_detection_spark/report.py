@@ -150,6 +150,22 @@ def report_document(
             # f"{ratio:.1%}" console summaries (anomaly_detector.py:520-521, F9)
             "failed_pct": f"{by_status.get('fail', 0) / len(parts):.1%}" if parts else "0.0%",
         },
+        # reference report shape parity (response.md:151-272): the anomalous
+        # entities with their failing constraints, and the normal list
+        "anomalies": [
+            {
+                "part_id": p["part_id"],
+                "overall_status": p["overall_status"],
+                "failing_constraints": [
+                    c for c in p["constraints"] if c["status"] in ("fail", "error")
+                ],
+            }
+            for p in parts
+            if p["overall_status"] in ("fail", "error")
+        ],
+        "normal_partitions": [
+            p["part_id"] for p in parts if p["overall_status"] == "pass"
+        ],
         "partitions": parts,
     }
 

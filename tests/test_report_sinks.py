@@ -81,6 +81,12 @@ def test_report_document_shape(spark, golden_run, tmp_path):
     names = [c["constraint"] for c in parts[0]["constraints"]]
     assert names == sorted(names) and "uniqueness" in names
     assert doc["summary"] == s
+    # reference-shape parity: anomalies list + normal list (response.md)
+    assert {a["part_id"] for a in on_disk["anomalies"]} == {
+        p["part_id"] for p in on_disk["partitions"] if p["overall_status"] == "fail"
+    }
+    assert all(a["failing_constraints"] for a in on_disk["anomalies"])
+    assert set(on_disk["normal_partitions"]) >= {0, 9}
 
 
 def test_write_partition_reports_jsonlines(spark, golden_run, tmp_path):
