@@ -1106,6 +1106,138 @@ SELECT probe_id, cand_id, cosine, rank FROM (
 _Q37_SQL = _ann_sql()
 
 
+def q39_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family): all pairs with cosine
+    >= 0.45, computed exactly — the oracle-twin pattern (cf. q26 for text).
+    The scale path is the q37 bucketed LSH join; this corpus's embeddings are
+    near-random (max pairwise cosine ~0.51), so the realistic-near-dup
+    threshold (0.9+) would return nothing and 0.45 exercises the operator."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")).repartition(32)
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _r6(dot / (norm("ea") * norm("eb"))))
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_Q39_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.emb, b.emb) /
+      (sqrt(list_dot_product(a.emb, a.emb)) *
+       sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
+"""
+
+
+def _simhash16(toks):
+    """16-bit simhash from md5-derived per-token bit votes — engine-portable
+    (same md5-hex trick as the minhash), so the fingerprint has a DuckDB
+    oracle (round 1's xxhash64 simhash was Spark-only)."""
+
+    def _vote_fold(bit):
+        # factory closure (pyspark introspects HOF lambda arity)
+        def fold(acc, t):
+            h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fold
+
+    fp = None
+    for b in range(16):
+        vote = F.aggregate(toks, F.lit(0), _vote_fold(b))
+        bit_val = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit_val if fp is None else fp + bit_val
+    return fp.cast("long")
+
+
+def q40_simhash_hamming(spark, sf_dir):
+    """Document fingerprinting + Hamming near-dup join: 16-bit md5-based
+    simhash -> band into 4 nibbles -> pairs sharing ANY nibble at the same
+    position (equi-join on (band, nibble) — by pigeonhole this captures every
+    pair with Hamming distance <= 3) -> verify bit_count(xor) <= 2. The
+    banding keeps the join bucketed (never all-pairs) exactly like q29."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
+    fp = d.select("doc_id", _simhash16(toks).alias("fp"))
+    nibbles = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("fp"), 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    x = fp.select("doc_id", "fp", F.explode(nibbles).alias("bb")).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib")
+    )
+    pairs = (
+        x.alias("a")
+        .join(x.alias("b"), ["band", "nib"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_Q40_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
+fp AS (
+  SELECT doc_id,
+         CAST((""" + " + ".join(
+    f"""
+    CASE WHEN list_sum(list_transform(t, x ->
+      CASE WHEN (CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) >> {b}) & 1 = 1
+           THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"""
+    for b in range(16)
+) + """
+  ) AS BIGINT) AS fp
+  FROM toks),
+bands AS (
+  SELECT doc_id, fp, band, (fp >> (4 * band)) & 15 AS nib
+  FROM fp, unnest([0, 1, 2, 3]) AS u(band)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= 2
+"""
+
+
 def q36_interval_window(spark, sf_dir):
     """F3: explicit INTERVAL arithmetic — the reference's detection window is
     `end_dt - timedelta(hours=window_hours)` (anomaly_detector.py:46-47);
@@ -1307,6 +1439,8 @@ QUERIES = {
     "q36_interval_window": q36_interval_window,
     "q37_ann_lsh_topk": q37_ann_lsh_topk,
     "q38_language_id": q38_language_id,
+    "q39_embedding_neardup": q39_embedding_neardup,
+    "q40_simhash_hamming": q40_simhash_hamming,
 }
 
 ORACLES = {
@@ -1345,7 +1479,10 @@ ORACLES = {
     "q36_interval_window": _Q36_SQL,
     "q37_ann_lsh_topk": _Q37_SQL,
     "q38_language_id": _Q38_SQL,
-    # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check
+    "q39_embedding_neardup": _Q39_SQL,
+    "q40_simhash_hamming": _Q40_SQL,
+    # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check (q40 is
+    # the md5-based, fully-oracled fingerprint + hamming-join variant)
 }
 
 
