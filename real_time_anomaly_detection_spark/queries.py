@@ -1192,23 +1192,20 @@ def q40_simhash_hamming(spark, sf_dir):
     x = fp.select("doc_id", "fp", F.explode(nibbles).alias("bb")).select(
         "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib")
     )
-    pairs = (
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    # hamming filter BEFORE the distinct: the verify predicate is available
+    # right at the join output (fp travels with each side), so the dedup
+    # shuffle only carries passing pairs, not the full banded pair stream
+    return (
         x.alias("a")
         .join(x.alias("b"), ["band", "nib"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & (ham <= 2))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fa"),
-            F.col("b.fp").alias("fb"),
+            ham.cast("int").alias("hamming"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 2)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
