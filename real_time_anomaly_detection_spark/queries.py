@@ -1235,6 +1235,43 @@ FROM pairs WHERE bit_count(xor(fa, fb)) <= 2
 """
 
 
+# BPE-ish pretokenizer regex (GPT-2 style, RE2-safe subset: no lookahead so
+# the identical pattern runs in Spark's Java regex and DuckDB's RE2):
+# leading-space word | leading-space number | leading-space punctuation run.
+_BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def q41_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish regex pretokenizer (vs q23's whitespace
+    tokenizer): per source, total subword tokens, tokens/doc, and the ratio
+    vs whitespace tokens — all from one hash agg; tokenization is
+    regexp_extract_all, identical pattern in both engines."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    ws = F.split(F.col("text"), r"\s+")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(bpe)).cast("bigint").alias("total_bpe_tokens"),
+        _r6(F.avg(F.size(bpe))).alias("bpe_tokens_per_doc"),
+        _r6(F.avg(F.size(bpe) / F.greatest(F.size(ws), F.lit(1)))).alias(
+            "bpe_to_ws_ratio"
+        ),
+    )
+
+
+_Q41_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '{_BPE_RE}'))), 6)
+         AS bpe_tokens_per_doc,
+       round(avg(len(regexp_extract_all(lower(text), '{_BPE_RE}')) * 1.0 /
+                 greatest(len(regexp_split_to_array(text, '\\s+')), 1)), 6)
+         AS bpe_to_ws_ratio
+FROM documents GROUP BY source
+"""
+
+
 def q36_interval_window(spark, sf_dir):
     """F3: explicit INTERVAL arithmetic — the reference's detection window is
     `end_dt - timedelta(hours=window_hours)` (anomaly_detector.py:46-47);
@@ -1438,6 +1475,7 @@ QUERIES = {
     "q38_language_id": q38_language_id,
     "q39_embedding_neardup": q39_embedding_neardup,
     "q40_simhash_hamming": q40_simhash_hamming,
+    "q41_bpe_tokens": q41_bpe_tokens,
 }
 
 ORACLES = {
@@ -1478,6 +1516,7 @@ ORACLES = {
     "q38_language_id": _Q38_SQL,
     "q39_embedding_neardup": _Q39_SQL,
     "q40_simhash_hamming": _Q40_SQL,
+    "q41_bpe_tokens": _Q41_SQL,
     # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check (q40 is
     # the md5-based, fully-oracled fingerprint + hamming-join variant)
 }
