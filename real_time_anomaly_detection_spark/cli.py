@@ -57,6 +57,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--out", required=True)
 
+    def _add_synth_oracle(p):
+        # the audio family needs a reference-PCM lookup; for tables produced
+        # by the `synth` subcommand the deterministic synthesizer IS that
+        # oracle — re-supply the same generation params to enable pcm_check/
+        # transcript_check from the CLI (production would plug a real store)
+        p.add_argument("--synth-oracle", action="store_true",
+                       help="enable audio checks using the synth oracle")
+        p.add_argument("--n-clips", type=int, default=10000)
+        p.add_argument("--clips-per-partition", type=int, default=1000)
+        p.add_argument("--golden", action="store_true")
+
     p = sub.add_parser("validate")
     _add_common(p)
     p.add_argument("--input", required=True)
@@ -65,6 +76,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--manifest")
     p.add_argument("--out", required=True)
     p.add_argument("--run-id")
+    _add_synth_oracle(p)
 
     p = sub.add_parser("incremental")
     _add_common(p)
@@ -74,6 +86,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--manifest", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--run-id")
+    _add_synth_oracle(p)
 
     p = sub.add_parser("report")
     _add_common(p)
@@ -173,7 +186,19 @@ def main(argv: list[str] | None = None) -> None:
     baseline_rows = (
         drift.make_baseline(spark.read.parquet(args.baseline)) if args.baseline else None
     )
-    kw = dict(refs=refs, baseline_rows=baseline_rows, run_id=args.run_id)
+    ref_pcm_fn = None
+    if getattr(args, "synth_oracle", False):
+        from . import synth
+
+        scfg = (
+            synth.golden_config(args.n_clips, args.clips_per_partition)
+            if args.golden
+            else synth.clean_config(args.n_clips, args.clips_per_partition)
+        )
+        ref_pcm_fn = lambda cid: synth.reference_pcm(scfg, cid)  # noqa: E731
+    kw = dict(
+        refs=refs, baseline_rows=baseline_rows, ref_pcm_fn=ref_pcm_fn, run_id=args.run_id
+    )
     if args.cmd == "validate":
         verdicts, violations = engine.validate(
             spark, clips, manifest_path=args.manifest, **kw
