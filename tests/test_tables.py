@@ -51,6 +51,40 @@ def test_snapshot_diff_discovery(spark, tmp_path):
     assert tables.read_clips(spark, path).count() == 400
 
 
+def test_incremental_validate_prunes_partition_dirs(spark, tmp_path):
+    """Resume over the partitioned layout: the pending-partition IN-filter
+    must reach the scan as a PartitionFilter, so completed partitions are
+    never re-read from disk (T6 + X3 together)."""
+    from real_time_anomaly_detection_spark import engine
+    from real_time_anomaly_detection_spark import manifest as mf
+
+    path = str(tmp_path / "clips_inc2")
+    man = str(tmp_path / "man")
+    cfg = synth.clean_config(n_clips=400, clips_per_partition=100)
+    tables.write_clips(spark, synth.clips_df(spark, cfg), path)
+    clips = tables.read_clips(spark, path)
+    vcfg = engine.ValidationConfig(checks=("column_stats", "uniqueness"))
+    engine.validate(spark, clips.filter(F.col("part_id") < 2), cfg=vcfg,
+                    run_id="r1", manifest_path=man)[0].count()
+    spark.catalog.clearCache()
+
+    # the pending set is {2, 3}; the pushed filter must be a partition filter
+    manifest = mf.read_manifest(spark, man)
+    pend = mf.pending_partitions(
+        clips.select("part_id"), manifest, len(vcfg.constraint_names())
+    )
+    pend_ids = sorted(r.part_id for r in pend.collect())
+    assert pend_ids == [2, 3]
+    subset = clips.filter(F.col("part_id").isin(pend_ids))
+    plan = _full_plan(subset)
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any("part_id" in ln for ln in scan_lines), plan
+    verdicts, _ = engine.incremental_validate(spark, clips, man, cfg=vcfg, run_id="r2")
+    v = verdicts.toPandas()
+    spark.catalog.clearCache()
+    assert set(v.part_id) == {2, 3}
+
+
 def test_iceberg_gate(spark, tmp_path):
     # no Iceberg runtime in this sandbox: the probe must say so and the
     # forced-iceberg path must raise the documented NotImplementedError
