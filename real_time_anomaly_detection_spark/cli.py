@@ -88,6 +88,22 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--run-id")
     _add_synth_oracle(p)
 
+    p = sub.add_parser("stream-detect")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="parquet dir watched as a stream")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True, help="anomaly-records parquet sink")
+    p.add_argument("--key-col", default="key")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--threshold", type=float, default=3.0)
+    p.add_argument("--min-points", type=int, default=10)
+    p.add_argument("--continuous", action="store_true",
+                   help="keep running on a processing-time trigger (the "
+                        "reference collector's 600s loop); default drains "
+                        "available input and exits")
+    p.add_argument("--trigger", default="600 seconds")
+
     p = sub.add_parser("report")
     _add_common(p)
     p.add_argument("--verdicts", required=True, help="verdicts parquet dir")
@@ -128,6 +144,35 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     spark = _spark(args)
+
+    if args.cmd == "stream-detect":
+        from .streaming import stateful
+
+        stream = spark.readStream.schema(
+            f"{args.key_col} string, {args.ts_col} timestamp, {args.value_col} double"
+        ).parquet(args.input)
+        out = stateful.running_anomalies(
+            stream,
+            key_col=args.key_col,
+            ts_col=args.ts_col,
+            value_col=args.value_col,
+            threshold=args.threshold,
+            min_points=args.min_points,
+        )
+        writer = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+        )
+        if args.continuous:
+            q = writer.trigger(processingTime=args.trigger).start()
+            q.awaitTermination()
+        else:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        print(args.out)
+        return
 
     if args.cmd == "report":
         from . import report
