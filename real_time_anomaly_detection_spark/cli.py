@@ -179,7 +179,8 @@ def main(argv: list[str] | None = None) -> None:
 
         verdicts = spark.read.parquet(args.verdicts)
         doc = report.write_report(verdicts, args.out, run_id=args.run_id)
-        print(f"{args.out}: {doc['summary']}")
+        print(report.text_summary(doc))
+        print(args.out)
         return
 
     if args.cmd == "export-csv":

@@ -170,6 +170,34 @@ def report_document(
     }
 
 
+def text_summary(doc: dict) -> str:
+    """Console rendering of a report document — the reference's text report
+    (`ReportGenerator.generate_text_report`, anomaly_detector.py:437-483:
+    summary counts, then one block per anomalous entity with its failing
+    checks). Pure driver-side presentation over the collected document."""
+    s = doc["summary"]
+    lines = [
+        "=" * 64,
+        "VALIDATION REPORT"
+        + (f"  (run {doc['metadata'].get('run_id')})" if doc["metadata"].get("run_id") else ""),
+        "=" * 64,
+        f"partitions: {s['total_partitions']}  pass: {s['passed_partitions']}  "
+        f"fail: {s['failed_partitions']} ({s['failed_pct']})  "
+        f"error: {s['errored_partitions']}  no_data: {s['no_data_partitions']}  "
+        f"insufficient: {s['insufficient_partitions']}",
+        "-" * 64,
+    ]
+    for a in doc["anomalies"]:
+        lines.append(f"partition {a['part_id']}: {a['overall_status'].upper()}")
+        for c in a["failing_constraints"]:
+            detail = f" — {c['detail']}" if c.get("detail") else ""
+            lines.append(f"    {c['constraint']:<24} {c['status']}{detail}")
+    if doc["normal_partitions"]:
+        lines.append(f"normal partitions: {doc['normal_partitions']}")
+    lines.append("=" * 64)
+    return "\n".join(lines)
+
+
 def write_report(
     verdicts: DataFrame,
     path: str,
