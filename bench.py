@@ -122,6 +122,7 @@ def main() -> None:
                     "validated_clips_per_sec": round(vrows / vsec, 1),
                     "n_clips": vrows,
                     "cpus": cpus,
+                    "scaling_evidence_file": "BENCH/BASELINE.md",
                 },
             }
         )
