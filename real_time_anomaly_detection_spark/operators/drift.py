@@ -117,9 +117,20 @@ def drift_verdicts(
     psi_threshold: float = PSI_THRESHOLD,
     ks_threshold: float = KS_THRESHOLD,
     min_rows: int = MIN_ROWS,
+    quantile_accuracy: int = 10000,
 ) -> DataFrame:
-    """Per-(partition, column) drift verdicts from ONE groupBy(part_id)."""
+    """Per-(partition, column) drift verdicts from ONE groupBy(part_id).
+
+    Metrics per column: PSI + binned-KS from the fixed-bin histogram, plus a
+    quantile-SKETCH distance (the north rule's "tests on t-digest sketches"):
+    `w1_norm` = mean |q_obs(p) - q_base(p)| over the stored p-grid, divided
+    by the baseline range — a normalized Wasserstein-1 between the sketch
+    quantile functions. percentile_approx IS the mergeable quantile sketch
+    (GK/KLL family), so the state stays O(sketch) per (partition, column).
+    Verdict thresholds remain on PSI/KS (reference-pinned goldens); w1_norm
+    is reported in the metrics map."""
     cols = [r["column_name"] for r in baseline_rows]
+    qgrid = [float(p) for p in baseline_rows[0]["quantile_p"]]
     aggs = []
     for row in baseline_rows:
         c = row["column_name"]
@@ -132,6 +143,11 @@ def drift_verdicts(
             F.array(
                 *[F.count_if(F.col(c).isNotNull() & (b == i)) for i in range(n_bins)]
             ).alias(f"{c}__h")
+        )
+        aggs.append(
+            F.percentile_approx(F.col(c).cast("double"), qgrid, quantile_accuracy).alias(
+                f"{c}__q"
+            )
         )
     g = clips.select(part_col, *cols).groupBy(part_col).agg(*aggs)
 
@@ -169,11 +185,25 @@ def drift_verdicts(
             ),
             lambda acc: acc["ks"],
         )
+        # quantile-sketch W1: mean |q_obs - q_base| over the grid, scaled by
+        # the baseline range; q_base folded in as literals (no join)
+        q_base = F.array(*[F.lit(float(v)) for v in row["quantile_v"]])
+        rng_base = max(row["quantile_v"][-1] - row["quantile_v"][0], 1e-12)
+        w1 = (
+            F.aggregate(
+                F.zip_with(F.col(f"{c}__q"), q_base, lambda o, bse: F.abs(o - bse)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(len(row["quantile_v"])))
+            / F.lit(float(rng_base))
+        )
         staged = g.select(
             F.col(part_col).alias("part_id"),
             F.col(f"{c}__n").alias("n_nonnull"),
             psi.alias("psi"),
             ks.alias("ks"),
+            w1.alias("w1"),
         )
         drifted = (F.col("psi") > psi_threshold) | (F.col("ks") > ks_threshold)
         outs.append(
@@ -185,8 +215,15 @@ def drift_verdicts(
                 .otherwise(F.lit(VERDICT_PASS))
                 .alias("status"),
                 F.map_from_arrays(
-                    F.array(F.lit("n_nonnull"), F.lit("psi"), F.lit("ks_binned")),
-                    F.array(F.col("n_nonnull").cast("double"), F.col("psi"), F.col("ks")),
+                    F.array(
+                        F.lit("n_nonnull"), F.lit("psi"), F.lit("ks_binned"), F.lit("w1_norm")
+                    ),
+                    F.array(
+                        F.col("n_nonnull").cast("double"),
+                        F.col("psi"),
+                        F.col("ks"),
+                        F.col("w1"),
+                    ),
                 ).alias("metrics"),
                 F.when(
                     drifted,

@@ -61,6 +61,11 @@ def test_golden_verdict_matrix(results):
     assert _status(vdf, 5, "drift:dur_ms") == "fail"
     assert _status(vdf, 0, "drift:dur_ms") == "pass"
     assert _status(vdf, 9, "drift:sr_hz") == "pass"
+    # the quantile-sketch W1 metric separates the drifted partition too
+    def _metric(part, constraint, key):
+        rows = vdf[(vdf.part_id == part) & (vdf.constraint == constraint)]
+        return rows.metrics.iloc[0][key]
+    assert _metric(5, "drift:dur_ms", "w1_norm") > 3 * _metric(0, "drift:dur_ms", "w1_norm")
     assert _status(vdf, 6, "pcm_check") == "fail"
     assert _status(vdf, 0, "pcm_check") == "pass"
     assert _status(vdf, 7, "transcript_check") == "fail"
