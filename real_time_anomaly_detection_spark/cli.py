@@ -2,10 +2,14 @@
 
 Subcommands mirror the engine API (SURVEY.md §7.1):
 
-  synth       generate a deterministic clips table (+ refs) as parquet
+  synth       generate a deterministic clips table (+ refs) as parquet;
+              writes a `_synth_config.json` sidecar so later --synth-oracle
+              runs reconstruct the SAME oracle the table was built with
   profile     per-partition column stats -> parquet
   validate    full constraint run -> verdicts/violations parquet (+ manifest)
   incremental resume: validate only partitions missing from the manifest
+  stream-validate  continuous validation of newly-arrived clip files
+              (readStream + foreachBatch over the validate engine)
   report      assemble the JSON report document from a verdicts table (S10)
   export-csv  CSV export of any parquet table (S9, view_data.py:163-177)
   upsert      keyed MERGE of a parquet batch into a target table (S7)
@@ -21,11 +25,15 @@ Packaging: `python -m real_time_anomaly_detection_spark.cli package` writes
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+import uuid
 import zipfile
 
 from pyspark.sql import SparkSession
+
+SYNTH_SIDECAR = "_synth_config.json"  # `_` prefix: parquet readers skip it
 
 
 def _spark(args) -> SparkSession:
@@ -60,8 +68,11 @@ def main(argv: list[str] | None = None) -> None:
     def _add_synth_oracle(p):
         # the audio family needs a reference-PCM lookup; for tables produced
         # by the `synth` subcommand the deterministic synthesizer IS that
-        # oracle — re-supply the same generation params to enable pcm_check/
-        # transcript_check from the CLI (production would plug a real store)
+        # oracle. The generation params are read back from the table's
+        # `_synth_config.json` sidecar (written by `synth`) so the oracle
+        # always matches the data; explicit flags are the fallback for
+        # sidecar-less tables and emit a warning (a mismatched oracle fails
+        # every clip with no hint the oracle, not the data, is wrong).
         p.add_argument("--synth-oracle", action="store_true",
                        help="enable audio checks using the synth oracle")
         p.add_argument("--n-clips", type=int, default=10000)
@@ -86,6 +97,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--manifest", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--run-id")
+    _add_synth_oracle(p)
+
+    p = sub.add_parser("stream-validate")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="parquet dir watched as a stream")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True,
+                   help="output root: verdicts/ and violations/ epoch dirs")
+    p.add_argument("--refs")
+    p.add_argument("--baseline", help="parquet dir of a clean reference table for drift")
+    p.add_argument("--continuous", action="store_true",
+                   help="keep running on a processing-time trigger; default "
+                        "drains available input and exits")
+    p.add_argument("--trigger", default="600 seconds")
+    p.add_argument("--max-files-per-trigger", type=int)
     _add_synth_oracle(p)
 
     p = sub.add_parser("stream-detect")
@@ -213,14 +239,22 @@ def main(argv: list[str] | None = None) -> None:
             cfg = synth.clean_config(args.n_clips, args.clips_per_partition)
         synth.clips_df(spark, cfg).write.mode("overwrite").parquet(args.out)
         synth.transcripts_ref_df(spark, cfg).write.mode("overwrite").parquet(args.out + "_refs")
+        with open(os.path.join(args.out, SYNTH_SIDECAR), "w") as f:
+            json.dump(
+                {
+                    "n_clips": args.n_clips,
+                    "clips_per_partition": args.clips_per_partition,
+                    "golden": bool(args.golden),
+                },
+                f,
+            )
         print(args.out)
         return
-
-    clips = spark.read.parquet(args.input)
 
     if args.cmd == "profile":
         from . import engine
 
+        clips = spark.read.parquet(args.input)
         engine.profile(clips).write.mode("overwrite").parquet(args.out)
         print(args.out)
         return
@@ -236,14 +270,47 @@ def main(argv: list[str] | None = None) -> None:
     if getattr(args, "synth_oracle", False):
         from . import synth
 
-        scfg = (
-            synth.golden_config(args.n_clips, args.clips_per_partition)
-            if args.golden
-            else synth.clean_config(args.n_clips, args.clips_per_partition)
-        )
+        n_clips, cpp, golden = args.n_clips, args.clips_per_partition, args.golden
+        sidecar = os.path.join(args.input, SYNTH_SIDECAR)
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                sc = json.load(f)
+            n_clips, cpp, golden = sc["n_clips"], sc["clips_per_partition"], sc["golden"]
+        else:
+            print(
+                f"warning: no {SYNTH_SIDECAR} under --input; reconstructing the "
+                "PCM oracle from --n-clips/--clips-per-partition/--golden flags — "
+                "if these differ from the table's synth params every clip will "
+                "fail pcm_check",
+                file=sys.stderr,
+            )
+        scfg = synth.golden_config(n_clips, cpp) if golden else synth.clean_config(n_clips, cpp)
         ref_pcm_fn = lambda cid: synth.reference_pcm(scfg, cid)  # noqa: E731
+
+    if args.cmd == "stream-validate":
+        from .streaming import incremental
+
+        q = incremental.stream_validate(
+            spark,
+            args.input,
+            args.checkpoint,
+            os.path.join(args.out, "verdicts"),
+            os.path.join(args.out, "violations"),
+            refs=refs,
+            baseline_rows=baseline_rows,
+            ref_pcm_fn=ref_pcm_fn,
+            available_now=not args.continuous,
+            processing_time=args.trigger,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        print(args.out)
+        return
+
+    clips = spark.read.parquet(args.input)
+    run_id = args.run_id or uuid.uuid4().hex[:12]
     kw = dict(
-        refs=refs, baseline_rows=baseline_rows, ref_pcm_fn=ref_pcm_fn, run_id=args.run_id
+        refs=refs, baseline_rows=baseline_rows, ref_pcm_fn=ref_pcm_fn, run_id=run_id
     )
     if args.cmd == "validate":
         verdicts, violations = engine.validate(
@@ -255,6 +322,7 @@ def main(argv: list[str] | None = None) -> None:
         )
     verdicts.write.mode("overwrite").parquet(os.path.join(args.out, "verdicts"))
     violations.write.mode("overwrite").parquet(os.path.join(args.out, "violations"))
+    engine.release(run_id)  # outputs are materialized — drop the cached plans
     print(args.out)
 
 

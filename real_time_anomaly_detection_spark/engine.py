@@ -12,15 +12,22 @@ pipeline:
 The per-station sequential loop of the reference (`anomaly_detector.py:431`)
 does not exist here: every constraint is a whole-table distributed job, and
 all constraints share one pruned projection of the non-binary columns that is
-persisted for the duration of the run (call `spark.catalog.clearCache()` when
-the returned DataFrames are no longer needed — validate() cannot unpersist
-eagerly because its outputs are lazy).
+persisted for the duration of the run. validate() cannot unpersist eagerly
+because its outputs are lazy; it registers every persisted DataFrame under its
+run_id — call `release(run_id)` once the returned DataFrames have been
+materialized (the CLI and the streaming foreachBatch loop do), so long-lived
+sessions running many validate() calls don't accumulate cached plans.
 
 Failure handling (T7, reference `streaming_collector_sqlite.py:400-404`: log
-ERROR per cycle and continue): a constraint family whose plan cannot even be
-constructed yields a status='error' verdict row instead of aborting the run,
-and per-clip decode errors surface as status='error' partition verdicts via
-the audio check. Errored partitions are retried on resume
+ERROR per cycle and continue): fault isolation is BUILD-TIME per family plus
+per-clip at runtime — a constraint family whose plan cannot be CONSTRUCTED
+yields a status='error' verdict row and the run continues, and per-clip audio
+decode errors are caught inside the UDF and surface as status='error'
+partition verdicts. A runtime failure in any other family still aborts the
+whole validate action, because all families union into one lazy DataFrame and
+Spark evaluates it as one job; evaluating families as separate actions would
+buy runtime isolation at the cost of one job (and one source scan sync point)
+per family. Errored partitions are retried on resume
 (`manifest.completed_partitions` excludes them).
 """
 
@@ -37,6 +44,24 @@ from pyspark.sql import functions as F
 from . import manifest as mf
 from .operators import audio_checks, drift, referential, stats, uniqueness
 from .schemas import PARTITION_VERDICTS, VIOLATIONS
+
+# Persisted DataFrames per validate() run, so callers can unpersist once the
+# lazy outputs are materialized (run N validations in one session without
+# accumulating cached plans).
+_PERSISTED: dict[str, list[DataFrame]] = {}
+
+
+def release(run_id: str) -> None:
+    """Unpersist every DataFrame validate() cached under `run_id`. Safe to
+    call more than once; call after the returned verdicts/violations have
+    been written or collected."""
+    for df in _PERSISTED.pop(run_id, []):
+        df.unpersist()
+
+
+def release_all() -> None:
+    for rid in list(_PERSISTED):
+        release(rid)
 
 
 @dataclass
@@ -134,6 +159,7 @@ def validate(
         wanted.append("transcript")  # transcript check shares the meta scan
     meta_cols = [c for c in dict.fromkeys(wanted) if c in clips.columns]
     meta = clips.select(*meta_cols).persist()
+    _PERSISTED.setdefault(run_id, []).append(meta)
 
     verdicts: list[DataFrame] = []
     violations: list[DataFrame] = []
@@ -190,11 +216,13 @@ def validate(
             # the per-clip flag rows (tiny) so the decode/SNR UDF pass over
             # the binary payload runs exactly once for verdicts AND violations
             checked = audio_checks.pcm_check(clips, ref_pcm_fn, cfg.snr_threshold).persist()
+            _PERSISTED[run_id].append(checked)
             verdicts.append(audio_checks.pcm_verdicts(checked))
             violations.append(audio_checks.pcm_violations(checked, cfg.snr_threshold))
             # transcript: small-column equi-join against refs (off the shared
             # cached meta projection)
             tr = audio_checks.transcript_check(meta, refs, cfg.broadcast_refs).persist()
+            _PERSISTED[run_id].append(tr)
             verdicts.append(audio_checks.transcript_verdicts(tr))
             violations.append(audio_checks.transcript_violations(tr))
         _family("audio", _build_audio)

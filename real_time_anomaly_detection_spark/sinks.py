@@ -55,25 +55,35 @@ def upsert_parquet(
     path: str,
     key_cols: list[str] | tuple[str, ...],
     ts_col: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Keyed MERGE into a parquet directory (S7). Re-ingesting an updated row
     replaces it; re-ingesting an identical row is a no-op (idempotent,
-    reference T2)."""
-    try:
-        existing = spark.read.parquet(path)
-        has_existing = True
-    except Exception:
-        existing = None
-        has_existing = False
+    reference T2).
+
+    'Table absent' is decided by a filesystem probe, NOT by catching read
+    errors — a transient IO failure or corrupt footer propagates instead of
+    silently replacing the table with only the incoming batch. The swap is
+    rename-aside (old -> __old, tmp -> path, delete __old): a crash mid-swap
+    leaves either the old table at path or the old table at __old — never a
+    missing table with no recoverable copy.
+    """
+    has_existing = os.path.isdir(path)
+    existing = spark.read.parquet(path) if has_existing else None
     merged = keep_latest(existing, incoming, key_cols, ts_col)
-    tmp = f"{path}__upsert_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}__upsert_{token}"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     if has_existing:
-        shutil.rmtree(path)
+        aside = f"{path}__old_{token}"
+        os.rename(path, aside)
+        os.rename(tmp, path)
+        shutil.rmtree(aside)
     else:
-        # a failed previous read may still leave a stale/partial dir
-        shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+        os.rename(tmp, path)
 
 
 def export_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:

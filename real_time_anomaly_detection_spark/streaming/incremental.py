@@ -78,6 +78,10 @@ def stream_validate(
             violations.write.mode("overwrite").parquet(
                 f"{violations_path}/epoch_id={epoch_id}"
             )
+        # writes above materialized everything — drop this epoch's cached
+        # plans so a long-running stream doesn't accumulate one persisted
+        # projection (+ audio flag rows) per epoch
+        engine.release(f"epoch-{epoch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -62,8 +62,13 @@ def _flag_and_update(
 ) -> Iterator[pd.DataFrame]:
     n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
     rows: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts", kind="stable")
+    # Concatenate ALL Arrow chunks before sorting: a per-chunk sort would
+    # fold values out of global event-time order whenever one key's
+    # micro-batch spans chunk boundaries, making flags chunk-dependent.
+    # Per-key micro-batch volume is bounded (module doc), so this is safe.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts", kind="stable")
         for ts, v in zip(pdf["ts"], pdf["value"]):
             x = float(v)
             std = (m2 / n) ** 0.5 if n > 0 else 0.0  # population std (U1 parity)

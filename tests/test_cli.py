@@ -1,0 +1,71 @@
+"""CLI flows driven in-process (the `spark` fixture is the active session, so
+`cli._spark` reuses it — the same path a spark-submit-provided session takes).
+
+Covers the ADVICE r2 sidecar fix (synth writes _synth_config.json; validate
+--synth-oracle reads it back so the PCM oracle always matches the data) and
+the VERDICT r2 #6 stream-validate subcommand.
+"""
+
+import json
+import os
+
+from real_time_anomaly_detection_spark import cli
+
+
+def test_synth_writes_sidecar_and_validate_reads_it(spark, tmp_path, capsys):
+    data = str(tmp_path / "clips")
+    cli.main(["synth", "--n-clips", "300", "--clips-per-partition", "100",
+              "--out", data])
+    sidecar = os.path.join(data, cli.SYNTH_SIDECAR)
+    assert os.path.isfile(sidecar)
+    assert json.load(open(sidecar)) == {
+        "n_clips": 300, "clips_per_partition": 100, "golden": False
+    }
+
+    # validate with --synth-oracle and DELIBERATELY WRONG flags: the sidecar
+    # must win, so the clean table passes every audio check
+    out = str(tmp_path / "val")
+    cli.main(["validate", "--input", data, "--refs", data + "_refs",
+              "--out", out, "--synth-oracle",
+              "--n-clips", "7", "--clips-per-partition", "3"])
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    pcm = v.filter(v.constraint == "pcm_check").collect()
+    assert pcm and all(r.status == "pass" for r in pcm)
+    # and the run's cached plans were released (engine.release in the CLI)
+    from real_time_anomaly_detection_spark import engine
+
+    assert not engine._PERSISTED
+
+
+def test_validate_without_sidecar_warns_and_uses_flags(spark, tmp_path, capsys):
+    from real_time_anomaly_detection_spark import synth
+
+    data = str(tmp_path / "clips_ns")
+    cfg = synth.clean_config(n_clips=200, clips_per_partition=100)
+    synth.clips_df(spark, cfg).write.parquet(data)
+    synth.transcripts_ref_df(spark, cfg).write.parquet(data + "_refs")
+    out = str(tmp_path / "val_ns")
+    cli.main(["validate", "--input", data, "--refs", data + "_refs",
+              "--out", out, "--synth-oracle",
+              "--n-clips", "200", "--clips-per-partition", "100"])
+    assert "_synth_config.json" in capsys.readouterr().err
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert all(r.status == "pass" for r in v.filter(v.constraint == "pcm_check").collect())
+
+
+def test_stream_validate_cli_drains_and_is_resumable(spark, tmp_path):
+    data = str(tmp_path / "sv_clips")
+    cli.main(["synth", "--n-clips", "200", "--clips-per-partition", "100",
+              "--out", data])
+    out = str(tmp_path / "sv_out")
+    ckpt = str(tmp_path / "sv_ckpt")
+    cli.main(["stream-validate", "--input", data, "--refs", data + "_refs",
+              "--checkpoint", ckpt, "--out", out, "--synth-oracle"])
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert v.filter(v.status != "pass").count() == 0
+    assert "epoch_id" in v.columns  # epoch-keyed idempotent layout
+    n1 = v.count()
+    # re-drain with no new files: checkpoint makes it a no-op (T6 resumability)
+    cli.main(["stream-validate", "--input", data, "--refs", data + "_refs",
+              "--checkpoint", ckpt, "--out", out, "--synth-oracle"])
+    assert spark.read.parquet(os.path.join(out, "verdicts")).count() == n1

@@ -2,6 +2,7 @@
 error-state lineage (T7) tests."""
 
 import datetime as dt
+import os
 import json
 
 import pytest
@@ -200,3 +201,37 @@ def test_family_build_failure_records_error_verdict(spark):
     errs = v[v.status == "error"]
     assert list(errs.constraint) == ["column_stats"]
     assert (v[v.constraint == "uniqueness"].status == "pass").all()
+
+
+def test_upsert_propagates_read_errors(spark, tmp_path):
+    """ADVICE r2 (medium): a corrupt existing table must raise — NOT be
+    silently replaced by the incoming batch."""
+    import pytest
+
+    path = str(tmp_path / "corrupt_tbl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    t0 = dt.datetime(2024, 1, 1)
+    with pytest.raises(Exception):
+        sinks.upsert_parquet(spark, _mk(spark, [("a", "x", t0)]), path, ["clip_id"], "seen_at")
+    # the corrupt dir is still there (not clobbered by the incoming batch)
+    assert os.path.isdir(path) and os.listdir(path)
+
+
+def test_upsert_partition_by_preserved(spark, tmp_path):
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [("a", 0, "one"), ("b", 1, "two")], "clip_id string, part_id int, transcript string"
+    )
+    sinks.upsert_parquet(spark, df, path, ["clip_id"], partition_by=["part_id"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("part_id=")) == [
+        "part_id=0", "part_id=1"
+    ]
+    df2 = spark.createDataFrame([("a", 0, "ONE")], "clip_id string, part_id int, transcript string")
+    sinks.upsert_parquet(spark, df2, path, ["clip_id"], partition_by=["part_id"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("part_id=")) == [
+        "part_id=0", "part_id=1"
+    ]
+    got = {r.clip_id: r.transcript for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "ONE", "b": "two"}

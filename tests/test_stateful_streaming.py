@@ -87,3 +87,40 @@ def test_keys_isolated(spark, tmp_path):
     bb = out[out.key == "b"].sort_values("ts")
     assert bool(a.is_anomaly.iloc[-1])  # 50 anomalous for key a...
     assert not bb.is_anomaly.any()  # ...but normal for key b
+
+
+def test_event_time_order_across_arrow_chunks():
+    """ADVICE r2 (low): when one key's micro-batch spans multiple Arrow
+    chunks, the Welford fold must process values in GLOBAL event-time order —
+    a per-chunk sort would make flags depend on chunk boundaries."""
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+    def run(chunks):
+        st = FakeState()
+        outs = list(stateful._flag_and_update(("k",), iter(chunks), st, 3.0, 5, True))
+        return pd.concat(outs, ignore_index=True), st.stored
+
+    # 12 in-order points then a spike, delivered as chunks whose internal
+    # order is fine but whose CONCATENATION is out of event-time order
+    vals = [10.0, 11, 9, 10, 12, 10, 11, 9, 10, 11, 10, 9, 99.0]
+    full = _events_pdf({"k": vals})[["ts", "value"]]
+    ordered_out, ordered_state = run([full])
+    # chunk 2 holds the EARLIER half: concat order != event-time order
+    chunked_out, chunked_state = run(
+        [full.iloc[7:].reset_index(drop=True), full.iloc[:7].reset_index(drop=True)]
+    )
+    pd.testing.assert_frame_equal(
+        ordered_out.sort_values("ts").reset_index(drop=True),
+        chunked_out.sort_values("ts").reset_index(drop=True),
+    )
+    assert ordered_state == chunked_state
+    assert bool(ordered_out.sort_values("ts").is_anomaly.iloc[-1])  # spike flagged
