@@ -12,7 +12,11 @@ Env knobs:
                       (default 100000 — large enough that the timed region is
                       compute-bound, not stage-latency-bound; the table is
                       synthesized once and cached as parquet)
-  BENCH_QUERIES       comma-separated subset of query names (default: all)
+  BENCH_QUERIES       comma-separated subset of query names (default: all
+                      except the documented O(n^2) oracle twins q26/q39 —
+                      their answer to scale is "use the LSH path" (q34/q42),
+                      so they stay in CORRECTNESS but out of the default
+                      bench; pass them explicitly to time them)
 """
 
 from __future__ import annotations
@@ -97,8 +101,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     n_clips = int(os.environ.get("BENCH_CLIPS", "100000"))
+    # O(n^2) small-data oracle twins: correctness-only, not benched by default
+    ORACLE_TWINS = {"q26_ngram_jaccard", "q39_embedding_neardup"}
     sel = os.environ.get("BENCH_QUERIES")
-    names = sel.split(",") if sel else list(QUERIES)
+    names = sel.split(",") if sel else [q for q in QUERIES if q not in ORACLE_TWINS]
 
     spark = get_spark("rtad-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
     # warm the JVM/codegen path once on the smallest inputs

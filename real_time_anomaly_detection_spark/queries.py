@@ -869,7 +869,37 @@ bands AS ({band_rows})
 """
 
 
-def q29_minhash_lsh(spark, sf_dir):
+def _lsh_candidate_pairs(x, max_bucket_size: int | None = None):
+    """Distinct (doc_a, doc_b) candidate pairs from a (doc_id, band, bucket)
+    table via ONE self-join on (band, bucket).
+
+    `max_bucket_size` is the 100 TB straggler mitigation: buckets with more
+    than B members are dropped BEFORE the self-join. A degenerate bucket of
+    size m emits m(m-1)/2 pairs from one join task — at corpus scale a single
+    hot bucket (boilerplate, empty docs) turns into a multi-hour straggler
+    while carrying near-zero information (its members collide with everything).
+    The count is a broadcastable aggregate on the join key itself, so the cap
+    costs one map-side-combined groupBy + one broadcast semi-join, no extra
+    shuffle of `x`. Default None (off): on this synthetic corpus the
+    oracle-checked recall target depends on the giant buckets."""
+    if max_bucket_size is not None:
+        small = (
+            x.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        x = x.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+    return (
+        x.alias("a")
+        .join(x.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None):
     """MinHash-LSH near-dup candidates: 8 minhash fns -> 4 bands of 2 ->
     ONE explode to (doc_id, band, bucket) -> ONE self-join on (band, bucket)
     -> distinct pairs. At scale this replaces q26's all-pairs join: the
@@ -878,22 +908,15 @@ def q29_minhash_lsh(spark, sf_dir):
 
     Skew note: this synthetic corpus is degenerate (tiny vocabulary, ~73% of
     all pairs are true near-dups), so a few giant buckets emit most pairs
-    from single join tasks. On a real corpus the standard mitigation is a
-    bucket-size cap (drop buckets with > B members — they carry near-zero
-    information); it is NOT applied here because the oracle-checked recall
-    target depends on those buckets on this corpus."""
+    from single join tasks. The standard mitigation is `max_bucket_size`
+    (see `_lsh_candidate_pairs`); it defaults OFF here because the
+    oracle-checked recall target depends on those buckets on this corpus."""
     d = load(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
     x = d.select("doc_id", F.explode(_minhash_bands_spark(toks)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    return (
-        x.alias("a")
-        .join(x.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _lsh_candidate_pairs(x, max_bucket_size)
 
 
 _Q29_SQL = f"""
@@ -904,25 +927,19 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def q34_neardup_lsh_verified(spark, sf_dir):
+def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None):
     """The canonical near-dup pipeline at scale: LSH candidate generation
-    (q29's bucketed self-join — never all-pairs) -> exact distinct-token
-    Jaccard >= 0.5 verification (q26's arithmetic) on candidates only.
-    Composition the round-1 review asked for: q26's O(n^2) cross join is now
-    just the small-data oracle twin."""
+    (q29's bucketed self-join — never all-pairs, optional `max_bucket_size`
+    straggler cap) -> exact distinct-token Jaccard >= 0.5 verification (q26's
+    arithmetic) on candidates only. Composition the round-1 review asked for:
+    q26's O(n^2) cross join is now just the small-data oracle twin."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks")
     )
     x = d.select("doc_id", F.explode(_minhash_bands_spark(F.col("toks"))).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cands = (
-        x.alias("a")
-        .join(x.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cands = _lsh_candidate_pairs(x, max_bucket_size)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     n_common = F.size(F.array_intersect("ta", "tb"))
@@ -1032,10 +1049,22 @@ _ANN_PLANES = [
 def q37_ann_lsh_topk(spark, sf_dir):
     """Bucketed approximate-nearest-neighbor top-5 (the scale path q27's
     brute force lacks): sign-of-dot-product against 4 fixed hyperplanes ->
-    16 cosine-LSH buckets -> candidates meet ONLY inside their bucket
-    (equi-join on bucket id), exact cosine + top-k within. At 10^9 vectors
-    the shuffle key is the bucket id, never all-pairs; more planes/multi-probe
-    tighten recall the same way."""
+    16 cosine-LSH buckets -> MULTI-PROBE: each probe visits its own bucket
+    plus the 4 buckets at Hamming distance 1 in bucket-bit space (the
+    standard multi-probe LSH trick — a near neighbor that disagrees on ONE
+    plane still meets the probe), candidates meet only inside a visited
+    bucket (equi-join on bucket id), exact cosine + top-k within.
+
+    Recall/planes tradeoff (pinned in tests/test_neardup.py): with 4 planes +
+    Hamming-1 multi-probe a neighbor at angle theta collides with prob
+    p^4 + 4p^3(1-p), p = 1 - theta/pi — measured top-5 recall vs q27 ground
+    truth on this near-random corpus: 0.46 at sf0.001 / 0.58 at sf0.01
+    (single-probe was 0.28; tests/test_neardup.py pins it). More planes
+    shrink buckets (less exact work per probe) but cut recall; more probes
+    (Hamming-2) or band-OR across independent plane sets (q42's construction)
+    buy recall back at more candidate volume. At 10^9 vectors the join is
+    5 probe-rows x n/16 bucket rows — never all-pairs, shuffle keyed on the
+    bucket id only, the 512-byte vector rides the join exactly once per side."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
@@ -1053,8 +1082,14 @@ def q37_ann_lsh_topk(spark, sf_dir):
         bit = F.when(_dot_lit(plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     b = e.withColumn("bucket", bucket)
-    probes = b.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"), "bucket"
+    # multi-probe fan-out: own bucket + the 4 single-bit flips (XOR masks)
+    probe_buckets = F.explode(
+        F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in (0, 1, 2, 4, 8)])
+    )
+    probes = (
+        b.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"),
+                probe_buckets.alias("bucket"))
     )
     cands = b.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"), "bucket")
     dot = F.aggregate(
@@ -1089,13 +1124,17 @@ def _ann_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+probes AS (
+  SELECT vec_id, emb, xor(bucket, m) AS bucket
+  FROM b, unnest([0, 1, 2, 4, 8]) AS u(m)
+  WHERE vec_id < 10),
 pairs AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
          round(list_dot_product(p.emb, c.emb) /
                (sqrt(list_dot_product(p.emb, p.emb)) *
                 sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
-  FROM b p JOIN b c ON p.bucket = c.bucket
-  WHERE p.vec_id < 10 AND p.vec_id != c.vec_id)
+  FROM probes p JOIN b c ON p.bucket = c.bucket
+  WHERE p.vec_id != c.vec_id)
 SELECT probe_id, cand_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
                                ORDER BY cosine DESC, cand_id ASC) AS rank
@@ -1106,12 +1145,147 @@ SELECT probe_id, cand_id, cosine, rank FROM (
 _Q37_SQL = _ann_sql()
 
 
+# Hyperplanes for the BANDED embedding near-dup LSH (q42): 12 sign planes ->
+# 6 bands x 2 planes (2-bit bucket per band). OR-amplification across bands:
+# a pair is a candidate iff it agrees on BOTH planes of ANY band — for cosine
+# s the collision prob is 1-(1-p^2)^6 with p = 1 - acos(s)/pi (~0.96 at the
+# 0.45 verify threshold, higher for closer pairs; the recall pytest pins the
+# measured value). Bands trade candidate volume for recall linearly; on a
+# real near-dup corpus (cosine >= 0.9, p ~ 0.86) fewer, wider bands (e.g.
+# 4 x 8 planes) cut candidates by orders of magnitude at the same recall.
+# q37's plane formula repeats with period 5 in the plane index, so the planes
+# here come from a seeded LCG instead — deterministic Python constants
+# embedded as literals in BOTH engines, like _ANN_PLANES.
+_ND_BANDS = 6
+_ND_PLANES_PER_BAND = 2
+
+
+def _nd_planes() -> list[list[float]]:
+    s, out = 0x5EED1E55, []
+    for _ in range(_ND_BANDS * _ND_PLANES_PER_BAND):
+        row = []
+        for _ in range(_ANN_DIM):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (s >> 33) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+_ND_PLANES = _nd_planes()
+
+
+def q42_embedding_neardup_lsh(spark, sf_dir):
+    """The canonical embedding near-dup pipeline at scale (q34's analog for
+    vectors, closing round 2's last all-pairs hole): banded cosine-LSH
+    candidate generation -> exact cosine >= 0.45 verification on candidates
+    only. ONE explode to (vec_id, band, bucket) -> ONE self-join on
+    (band, bucket) -> distinct id pairs -> join the vectors back and verify.
+    The shuffle key is (band, bucket), never all-pairs, and the 512-byte
+    embedding never rides through the banded join — only ids do; q39's O(n^2)
+    cross join remains solely as this query's small-data oracle twin.
+    Precision is exact (every emitted pair is verified); recall is the
+    banded-LSH collision probability, pinned by tests/test_neardup.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+    def _dot_lit(plane):
+        arr = F.array(*[F.lit(v) for v in plane])
+        return F.aggregate(
+            F.zip_with(F.col("emb"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    F.when(
+                        _dot_lit(_ND_PLANES[_ND_PLANES_PER_BAND * b + j]) > 0,
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                    for j in range(_ND_PLANES_PER_BAND)
+                ).alias("bucket"),
+            )
+            for b in range(_ND_BANDS)
+        ]
+    )
+    x = e.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cands = (
+        x.alias("a")
+        .join(x.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", _r6(dot / (norm("ea") * norm("eb"))))
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _q42_sql() -> str:
+    planes = [
+        "[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in _ND_PLANES
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(
+            f"{1 << j} * (CASE WHEN list_dot_product(emb, "
+            f"{planes[_ND_PLANES_PER_BAND * b + j]}) > 0 THEN 1 ELSE 0 END)"
+            for j in range(_ND_PLANES_PER_BAND)
+        )
+        + " AS bucket FROM e"
+        for b in range(_ND_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       round(list_dot_product(ea.emb, eb.emb) /
+             (sqrt(list_dot_product(ea.emb, ea.emb)) *
+              sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
+FROM cands JOIN e ea ON cands.vec_a = ea.vec_id
+           JOIN e eb ON cands.vec_b = eb.vec_id
+WHERE list_dot_product(ea.emb, eb.emb) /
+      (sqrt(list_dot_product(ea.emb, ea.emb)) *
+       sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.45
+"""
+
+
+_Q42_SQL = _q42_sql()
+
+
 def q39_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup family): all pairs with cosine
-    >= 0.45, computed exactly — the oracle-twin pattern (cf. q26 for text).
-    The scale path is the q37 bucketed LSH join; this corpus's embeddings are
-    near-random (max pairwise cosine ~0.51), so the realistic-near-dup
-    threshold (0.9+) would return nothing and 0.45 exercises the operator."""
+    >= 0.45, computed exactly.
+
+    SMALL-DATA ORACLE TWIN ONLY (cf. q26 for text): the canonical scale path
+    is q42_embedding_neardup_lsh (banded cosine-LSH candidates -> exact
+    verify). This corpus's embeddings are near-random (max pairwise cosine
+    ~0.51), so the realistic-near-dup threshold (0.9+) would return nothing
+    and 0.45 exercises the operator."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
@@ -1148,49 +1322,66 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-def _simhash16(toks):
-    """16-bit simhash from md5-derived per-token bit votes — engine-portable
-    (same md5-hex trick as the minhash), so the fingerprint has a DuckDB
-    oracle (round 1's xxhash64 simhash was Spark-only)."""
+# SimHash width: 60 bits (the full value of the portable 15-hex-char md5
+# extraction — round 2's 16-bit fingerprint had a 65,536-value space that
+# collides catastrophically past ~10^4 docs). Banded for the Hamming join as
+# 4 x 15-bit bands; by pigeonhole any pair with Hamming distance <= 3 shares
+# at least one full band, so the banded equi-join has recall 1 for the <= 3
+# verify threshold.
+_SH_BITS = 60
+_SH_BANDS = 4
+_SH_BAND_BITS = _SH_BITS // _SH_BANDS  # 15
+_SH_HAM_MAX = _SH_BANDS - 1  # pigeonhole-exact verify threshold
 
-    def _vote_fold(bit):
-        # factory closure (pyspark introspects HOF lambda arity)
-        def fold(acc, t):
-            h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
 
-        return fold
-
+def _simhash60(d):
+    """(doc_id, fp) with a 60-bit md5-portable simhash, computed as
+    explode -> per-(doc, token) hash -> ONE hash-agg with 60 signed-vote sums
+    (map-side partial agg, whole-stage codegen, md5 evaluated once per token —
+    the HOF-fold formulation re-evaluated the token hash per bit)."""
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("t")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
     fp = None
-    for b in range(16):
-        vote = F.aggregate(toks, F.lit(0), _vote_fold(b))
-        bit_val = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(_SH_BITS):
+        bit_val = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit_val if fp is None else fp + bit_val
-    return fp.cast("long")
+    return votes.select("doc_id", fp.cast("long").alias("fp"))
 
 
 def q40_simhash_hamming(spark, sf_dir):
-    """Document fingerprinting + Hamming near-dup join: 16-bit md5-based
-    simhash -> band into 4 nibbles -> pairs sharing ANY nibble at the same
-    position (equi-join on (band, nibble) — by pigeonhole this captures every
-    pair with Hamming distance <= 3) -> verify bit_count(xor) <= 2. The
-    banding keeps the join bucketed (never all-pairs) exactly like q29."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
-    fp = d.select("doc_id", _simhash16(toks).alias("fp"))
-    nibbles = F.array(
+    """Document fingerprinting + Hamming near-dup join: 60-bit md5-based
+    simhash -> band into 4 x 15-bit chunks -> pairs sharing ANY chunk at the
+    same position (equi-join on (band, chunk) — by pigeonhole this captures
+    EVERY pair with Hamming distance <= 3) -> verify bit_count(xor) <= 3.
+    The banding keeps the join bucketed (never all-pairs) exactly like q29,
+    and the banded join is exact (recall 1) for the verify threshold."""
+    fp = _simhash60(load(spark, sf_dir, "documents"))
+    chunks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("fp"), 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                F.shiftright(F.col("fp"), _SH_BAND_BITS * b)
+                .bitwiseAND(F.lit((1 << _SH_BAND_BITS) - 1))
+                .alias("chunk"),
             )
-            for b in range(4)
+            for b in range(_SH_BANDS)
         ]
     )
-    x = fp.select("doc_id", "fp", F.explode(nibbles).alias("bb")).select(
-        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib")
+    x = fp.select("doc_id", "fp", F.explode(chunks).alias("bb")).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     # hamming filter BEFORE the distinct: the verify predicate is available
@@ -1198,8 +1389,8 @@ def q40_simhash_hamming(spark, sf_dir):
     # shuffle only carries passing pairs, not the full banded pair stream
     return (
         x.alias("a")
-        .join(x.alias("b"), ["band", "nib"])
-        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & (ham <= 2))
+        .join(x.alias("b"), ["band", "chunk"])
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & (ham <= _SH_HAM_MAX))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -1209,30 +1400,39 @@ def q40_simhash_hamming(spark, sf_dir):
     )
 
 
-_Q40_SQL = """
+def _q40_sql() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS)
+    )
+    mask = (1 << _SH_BAND_BITS) - 1
+    return f"""
 WITH toks AS (
   SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
-fp AS (
+tok AS (
+  SELECT doc_id, CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) AS h
+  FROM toks, unnest(t) AS u(x)),
+votes AS (
   SELECT doc_id,
-         CAST((""" + " + ".join(
-    f"""
-    CASE WHEN list_sum(list_transform(t, x ->
-      CASE WHEN (CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) >> {b}) & 1 = 1
-           THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"""
-    for b in range(16)
-) + """
-  ) AS BIGINT) AS fp
-  FROM toks),
+         {votes}
+  FROM tok GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes),
 bands AS (
-  SELECT doc_id, fp, band, (fp >> (4 * band)) & 15 AS nib
+  SELECT doc_id, fp, band, (fp >> ({_SH_BAND_BITS} * band)) & {mask} AS chunk
   FROM fp, unnest([0, 1, 2, 3]) AS u(band)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
-  FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib
+  FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
   WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(fa, fb)) <= 2
+FROM pairs WHERE bit_count(xor(fa, fb)) <= {_SH_HAM_MAX}
 """
+
+
+_Q40_SQL = _q40_sql()
 
 
 # BPE-ish pretokenizer regex (GPT-2 style, RE2-safe subset: no lookahead so
@@ -1376,25 +1576,9 @@ FROM pred GROUP BY lang_pred
 _Q38_SQL = _langid_sql()
 
 
-def q30_simhash(spark, sf_dir):
-    """SimHash document fingerprints (64-bit, token-hash sign aggregation) —
-    no SQL oracle (bit-level hashing); deterministic, tested via pytest."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
-    def _bit(b):
-        vote = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-
-    bits = [_bit(b) for b in range(16)]  # 16-bit simhash keeps the expression compact
-    fp = bits[0]
-    for x in bits[1:]:
-        fp = fp + x
-    return d.select("doc_id", fp.cast("long").alias("simhash16"))
+# q30_simhash (rows-only xxhash64 16-bit fingerprint) was retired in round 3:
+# q40's 60-bit md5-portable simhash is the same operator with a full DuckDB
+# value oracle, making the unoracled twin redundant (VERDICT r2 #2).
 
 
 def q31_psi_drift(spark, sf_dir):
@@ -1466,7 +1650,6 @@ QUERIES = {
     "q27_embedding_topk": q27_embedding_topk,
     "q28_embedding_label_stats": q28_embedding_label_stats,
     "q29_minhash_lsh": q29_minhash_lsh,
-    "q30_simhash": q30_simhash,
     "q31_psi_drift": q31_psi_drift,
     "q34_neardup_lsh_verified": q34_neardup_lsh_verified,
     "q35_geojson_shred": q35_geojson_shred,
@@ -1476,6 +1659,7 @@ QUERIES = {
     "q39_embedding_neardup": q39_embedding_neardup,
     "q40_simhash_hamming": q40_simhash_hamming,
     "q41_bpe_tokens": q41_bpe_tokens,
+    "q42_embedding_neardup_lsh": q42_embedding_neardup_lsh,
 }
 
 ORACLES = {
@@ -1517,8 +1701,7 @@ ORACLES = {
     "q39_embedding_neardup": _Q39_SQL,
     "q40_simhash_hamming": _Q40_SQL,
     "q41_bpe_tokens": _Q41_SQL,
-    # q30_simhash: xxhash64 bit-level fingerprint -> rows-only check (q40 is
-    # the md5-based, fully-oracled fingerprint + hamming-join variant)
+    "q42_embedding_neardup_lsh": _Q42_SQL,
 }
 
 

@@ -17,6 +17,6 @@ def test_query_and_oracle_keys_align():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 30
-    # rows-only checks are the documented exceptions (q30: xxhash64 bit-level
-    # fingerprint has no DuckDB equivalent; q29/q34 gained md5-based oracles)
-    assert set(q) - set(o) == {"q30_simhash"}
+    # every registered query carries a DuckDB value oracle (q30, the last
+    # rows-only twin, was retired in round 3 — q40 is the oracled simhash)
+    assert set(q) - set(o) == set()

@@ -42,3 +42,81 @@ def test_verified_is_subset_of_candidates(spark):
     cands = _pairs(q29_minhash_lsh(spark, SF_DIR).toPandas())
     got = _pairs(q34_neardup_lsh_verified(spark, SF_DIR).toPandas())
     assert got <= cands
+
+
+def test_embedding_lsh_recall_and_soundness(spark):
+    """VERDICT r2 #1: q42 (banded cosine-LSH -> exact verify) vs the q39
+    all-pairs truth. 6 bands x 2 planes: a pair at cosine s is a candidate
+    with prob 1-(1-p^2)^6, p = 1-acos(s)/pi (~0.96 at the 0.45 threshold).
+    Deterministic planes + data -> measured recall 6/7 at sf0.001 (the one
+    miss sits at cosine 0.4501, the worst case for sign-LSH); precision is
+    exact by construction (every emitted pair is verified)."""
+    from real_time_anomaly_detection_spark.queries import (
+        q39_embedding_neardup,
+        q42_embedding_neardup_lsh,
+    )
+
+    truth = set(zip(*(lambda p: (p.vec_a, p.vec_b))(
+        q39_embedding_neardup(spark, SF_DIR).toPandas())))
+    got = set(zip(*(lambda p: (p.vec_a, p.vec_b))(
+        q42_embedding_neardup_lsh(spark, SF_DIR).toPandas())))
+    assert len(truth) > 0
+    assert got <= truth  # sound: verify stage makes precision exact
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"recall {recall:.3f}"
+
+
+def test_ann_multiprobe_recall_pinned(spark):
+    """VERDICT r2 #4: q37's top-5 hits vs q27 brute-force ground truth.
+    4 planes + Hamming-1 multi-probe on this near-random corpus: measured
+    0.46 at sf0.001 (deterministic). The floor documents the operating point;
+    the recall/planes tradeoff is in q37's docstring."""
+    from real_time_anomaly_detection_spark.queries import (
+        q27_embedding_topk,
+        q37_ann_lsh_topk,
+    )
+
+    truth, got = {}, {}
+    for r in q27_embedding_topk(spark, SF_DIR).collect():
+        truth.setdefault(r.probe_id, set()).add(r.cand_id)
+    for r in q37_ann_lsh_topk(spark, SF_DIR).collect():
+        got.setdefault(r.probe_id, set()).add(r.cand_id)
+    hits = sum(len(got.get(p, set()) & c) for p, c in truth.items())
+    total = sum(len(c) for c in truth.values())
+    assert total == 50  # 10 probes x top-5
+    recall = hits / total
+    assert recall >= 0.40, f"recall {recall:.3f}"
+
+
+def test_bucket_size_cap_drops_mega_bucket_only(spark, tmp_path):
+    """VERDICT r2 #3: the LSH straggler knob. Corpus: 40 IDENTICAL docs (one
+    mega-bucket in every band) + 3 disjoint near-dup pairs. With the cap set
+    between 2 and 40: (a) the mega-bucket's O(m^2) pairs vanish from the
+    candidate set, (b) recall of true pairs OUTSIDE the mega-bucket is
+    unchanged, (c) the candidate join shrinks."""
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import q29_minhash_lsh
+
+    mega = [{"doc_id": i, "text": "alpha beta gamma delta epsilon zeta"}
+            for i in range(40)]
+    # three near-identical pairs with disjoint, distinctive vocabularies
+    pairs = []
+    for j, words in enumerate(["red orange yellow chartreuse", "lion tiger leopard jaguar",
+                               "oak elm birch maple"]):
+        pairs += [{"doc_id": 100 + 2 * j, "text": words + " one"},
+                  {"doc_id": 101 + 2 * j, "text": words + " two"}]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pd.DataFrame(mega + pairs)).write.parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+    uncapped = q29_minhash_lsh(spark, path).toPandas()
+    capped = q29_minhash_lsh(spark, path, max_bucket_size=10).toPandas()
+    un, cp = set(zip(uncapped.doc_a, uncapped.doc_b)), set(zip(capped.doc_a, capped.doc_b))
+    mega_pairs = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert mega_pairs <= un            # uncapped: the straggler bucket emits all
+    assert not (cp & mega_pairs)       # capped: mega-bucket gone
+    outside = un - mega_pairs
+    assert outside and outside <= cp   # true pairs outside the cap unchanged
+    assert len(cp) < len(un) / 10      # the join actually shrank
