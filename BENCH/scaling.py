@@ -64,6 +64,42 @@ print("RESULT " + json.dumps({"cores": cores, "sec": dt, "rows": n_rows,
 """
 
 
+_CHILD_NEARDUP = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RTAD_REPO"])
+from real_time_anomaly_detection_spark.queries import (
+    q34_neardup_lsh_verified, q40_simhash_hamming, q42_embedding_neardup_lsh)
+from real_time_anomaly_detection_spark.session import get_spark
+
+cores = int(os.environ["RTAD_CORES"])
+sf_dir = os.environ.get("RTAD_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(f"rtad-ndscaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+QS = {"q34": q34_neardup_lsh_verified, "q40": q40_simhash_hamming,
+      "q42": q42_embedding_neardup_lsh}
+n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+def run_once():
+    # same hygiene as the validation protocol: no cross-run cache reuse, and
+    # a driver GC so the ContextCleaner reaps the previous run's shuffles
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(2)
+    per = {}
+    for name, fn in QS.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per[name] = time.perf_counter() - t0
+    return per
+
+run_once()  # warm-up
+runs = [run_once() for _ in range(3)]
+med = {k: sorted(r[k] for r in runs)[1] for k in QS}
+total = sum(med.values())
+print("RESULT " + json.dumps({"cores": cores, "sec": total, "per_query": med,
+                              "n_docs": n_docs, "docs_per_sec": n_docs / total}))
+"""
+
+
 def _burn(n: int) -> int:
     x = 0
     for _ in range(n):
@@ -95,12 +131,42 @@ def measure_ceiling(lo: int, hi: int) -> dict:
     }
 
 
-def run_level(cores: int, n_clips: int) -> dict:
+def _memburn(_):
+    import numpy as np
+
+    a = np.random.rand(40_000_000)
+    s = 0.0
+    for _ in range(6):
+        s += float((a * 1.0000001).sum())
+    return s
+
+
+def measure_mem_ceiling(lo: int, hi: int) -> float:
+    """Memory-BANDWIDTH-bound scaling ceiling: stream 320 MB arrays through
+    multiply+sum per process. The pure-CPU ceiling (cache-resident) is ~1.0
+    on this box for 2->8, but DRAM bandwidth is shared across cores, so
+    bandwidth-bound stages (e.g. array_intersect over millions of joined
+    token arrays) cannot scale past this number no matter the plan."""
+    import multiprocessing as mp
+    import time as _time
+
+    def _thr(n: int) -> float:
+        t0 = _time.perf_counter()
+        with mp.Pool(n) as p:
+            p.map(_memburn, range(n))
+        return n / (_time.perf_counter() - t0)
+
+    thr_lo = _thr(lo)
+    thr_hi = _thr(hi)
+    return (thr_hi / thr_lo) / (hi / lo)
+
+
+def run_level(cores: int, n_clips: int, child: str = _CHILD) -> dict:
     env = dict(
         os.environ, RTAD_REPO=REPO, RTAD_CORES=str(cores), RTAD_CLIPS=str(n_clips)
     )
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD], env=env, cwd=REPO, capture_output=True, text=True
+        [sys.executable, "-c", child], env=env, cwd=REPO, capture_output=True, text=True
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -108,13 +174,77 @@ def run_level(cores: int, n_clips: int) -> dict:
     raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
+def main_neardup(args, lo: int, hi: int) -> None:
+    """Scaling evidence for the shuffle-heavy near-dup family (q34 minhash
+    LSH->verify, q40 simhash hamming join, q42 embedding LSH->verify): the
+    queries where scaling is most at risk — every stage is a wide shuffle
+    (explode -> band self-join -> distinct -> verify join), unlike the
+    validation job whose families are mostly map-side. APPENDS to the report
+    (the validation section is the primary evidence, left untouched)."""
+    ceiling = measure_ceiling(lo, hi)
+    mem_ceiling = measure_mem_ceiling(lo, hi)
+    r_lo = run_level(lo, 0, child=_CHILD_NEARDUP)
+    r_hi = run_level(hi, 0, child=_CHILD_NEARDUP)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    per_eff = {
+        k: round((r_lo["per_query"][k] / r_hi["per_query"][k]) / (hi / lo), 3)
+        for k in r_lo["per_query"]
+    }
+    print(json.dumps({"N": r_lo, "4N": r_hi, "efficiency": round(eff, 3),
+                      "per_query_efficiency": per_eff,
+                      "cpu_ceiling": round(ceiling["ceiling"], 3),
+                      "mem_ceiling": round(mem_ceiling, 3)}))
+
+    def row(r):
+        per = ", ".join(f"{k} {v:.1f}s" for k, v in r["per_query"].items())
+        return (f"| local[{r['cores']}] | {r['sec']:.2f} | {per} | "
+                f"{r['docs_per_sec']:.1f} |")
+
+    with open(args.out, "a") as f:
+        f.write(f"""
+## Near-dup family pair: local[{lo}] -> local[{hi}] (VERDICT r2 #7)
+
+Same protocol (separate processes, warm-up + median of 3, cache cleared +
+driver GC before every timed run) on the shuffle-heaviest queries: q34
+(MinHash-LSH candidates -> exact Jaccard verify), q40 (60-bit simhash +
+hamming-banded pair join), q42 (banded cosine-LSH -> exact cosine verify),
+over the fixed sf0.1 corpus ({r_lo['n_docs']} documents / 5000 embeddings).
+Unlike the validation job (mostly map-side families), every stage here is a
+wide shuffle: explode -> band self-join -> distinct -> verify join.
+
+| parallelism | wall sec (median, 3 queries) | per-query medians | docs/sec |
+| --- | --- | --- | --- |
+{row(r_lo)}
+{row(r_hi)}
+
+**Near-dup scaling efficiency = {eff:.3f}** (per query: {per_eff}).
+Ceilings for this pair on this box: pure-CPU {ceiling['ceiling']:.3f},
+memory-BANDWIDTH-bound {mem_ceiling:.3f}. The near-dup verify stages stream
+millions of joined token/embedding arrays through array_intersect /
+dot-products — bandwidth-bound work, so the honest envelope is the memory
+ceiling, not the CPU one: engine/mem-ceiling = {eff / mem_ceiling:.3f}.
+q40's wall (~2 s) is stage-latency-bound at this corpus size — below the
+regime where a throughput ratio means anything; q34/q42 are the signal.
+Caveat: this corpus is degenerate (~49% of ALL pairs are LSH candidates,
+9.77M pairs from 5000 docs), so the verify stage dominates in a way a real
+corpus's near-dup density would not; candidate generation itself carries the
+exact `salt` splitter and the lossy `max_bucket_size` cap for hot buckets
+(queries.py:_lsh_candidate_pairs, both pytest-pinned).
+""")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=40000)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--mode", choices=["validate", "neardup"], default="validate")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.cores.split(","))
+
+    if args.mode == "neardup":
+        main_neardup(args, lo, hi)
+        return
 
     ceiling = measure_ceiling(lo, hi)
     r_lo = run_level(lo, args.clips)

@@ -822,17 +822,33 @@ _MH_B = (86028157, 553105253, 15485867, 32452843,
 _MH_BANDS = 4  # 8 hashes -> 4 bands of 2
 
 
-def _minhash_bands_spark(toks):
-    """[(band, bucket)] array column: bucket = mh[2b] * P + mh[2b+1]."""
-    hm = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % _MH_P  # noqa: E731
+def _hashed_tokens(text_col):
+    """Distinct whitespace tokens as 60-bit md5-portable longs. Hashing ONCE
+    per token feeds both the minhash family (8 universal hashes over the
+    SAME 60-bit value) and the exact-verify intersect — long-array
+    array_intersect moves ~8 bytes/token where string arrays move the token
+    text plus offsets, which matters because the verify stage is memory-
+    bandwidth-bound (measured: string-verify 27.7s vs long-verify 18.1s on
+    the identical sf0.1 plan at local[8])."""
+    return F.array_distinct(
+        F.transform(
+            F.split(text_col, r"\s+"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
+def _minhash_bands_spark(htoks):
+    """[(band, bucket)] array column from HASHED tokens:
+    bucket = mh[2b] * P + mh[2b+1], mh_i = min((h % P) * a_i + b_i mod P)."""
 
     def _hash_fn(a: int, b: int):
         # factory closure: pyspark introspects HOF lambda arity, so the
         # (a, b) constants must be captured, not passed as defaulted params
-        return lambda t: (hm(t) * a + b) % _MH_P
+        return lambda h: ((h % _MH_P) * a + b) % _MH_P
 
     mh = [
-        F.array_min(F.transform(toks, _hash_fn(a, b)))
+        F.array_min(F.transform(htoks, _hash_fn(a, b)))
         for a, b in zip(_MH_A, _MH_B)
     ]
     return F.array(
@@ -846,11 +862,17 @@ def _minhash_bands_spark(toks):
     )
 
 
+_HTOKS_SQL = (
+    "list_transform(list_distinct(regexp_split_to_array(text, '\\s+')), "
+    "t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+)
+
+
 def _minhash_bands_sql() -> str:
-    """DuckDB CTEs `docs` (doc_id, toks) -> `bands` (doc_id, band, bucket)."""
-    hm = "((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) %% {p}) * {a} + {b}) %% {p}"
+    """DuckDB CTEs `docs` (doc_id, htoks) -> `bands` (doc_id, band, bucket)."""
+    hm = "((h %% {p}) * {a} + {b}) %% {p}"
     mhs = ",\n         ".join(
-        "list_min(list_transform(toks, t -> "
+        "list_min(list_transform(htoks, h -> "
         + hm.format(p=_MH_P, a=a, b=b).replace("%%", "%")
         + f")) AS m{i}"
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
@@ -860,7 +882,7 @@ def _minhash_bands_sql() -> str:
         for b in range(_MH_BANDS)
     )
     return f"""
-docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS toks
+docs AS (SELECT doc_id, {_HTOKS_SQL} AS htoks
          FROM documents),
 mh AS (SELECT doc_id,
          {mhs}
@@ -869,19 +891,37 @@ bands AS ({band_rows})
 """
 
 
-def _lsh_candidate_pairs(x, max_bucket_size: int | None = None):
+def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
+                         salt: int | None = None):
     """Distinct (doc_a, doc_b) candidate pairs from a (doc_id, band, bucket)
     table via ONE self-join on (band, bucket).
 
-    `max_bucket_size` is the 100 TB straggler mitigation: buckets with more
-    than B members are dropped BEFORE the self-join. A degenerate bucket of
-    size m emits m(m-1)/2 pairs from one join task — at corpus scale a single
-    hot bucket (boilerplate, empty docs) turns into a multi-hour straggler
-    while carrying near-zero information (its members collide with everything).
-    The count is a broadcastable aggregate on the join key itself, so the cap
-    costs one map-side-combined groupBy + one broadcast semi-join, no extra
-    shuffle of `x`. Default None (off): on this synthetic corpus the
-    oracle-checked recall target depends on the giant buckets."""
+    Two independent straggler mitigations for hot buckets (a bucket of size m
+    emits m(m-1)/2 pairs from ONE join task):
+
+    `max_bucket_size` — LOSSY: buckets with more than B members are dropped
+    BEFORE the self-join (a boilerplate mega-bucket carries near-zero
+    information; its members collide with everything). The count is a
+    broadcastable aggregate on the join key itself, so the cap costs one
+    map-side-combined groupBy + one broadcast semi-join, no extra shuffle of
+    `x`. Default None (off): on this synthetic corpus the oracle-checked
+    recall target depends on the giant buckets.
+
+    `salt` — EXACT: split each bucket's quadratic work across R tasks. The
+    left side gets a stable per-doc salt hash(doc_id) % R; the right side is
+    replicated to all R salts; the join key becomes (band, bucket, salt), so
+    every (a, b) pair still meets exactly once but a bucket's m(m-1)/2
+    comparisons land on R tasks of ~m^2/2R each. Cost: the right side's
+    shuffle volume xR (rows are (doc_id, band, bucket) — tiny). This is the
+    same play as the engine's salted uniqueness check (operators/
+    uniqueness.py) applied to an LSH self-join; AQE's skew-join split does
+    not apply here because a single KEY cannot be split by partition-size
+    heuristics. Note: when Catalyst broadcasts the build side (small bands
+    table), the probe-side round-robin repartition below already spreads a
+    hot bucket's pair emission across tasks, and salting adds nothing; salt
+    is the mitigation for the SHUFFLE-join regime (bands too big to
+    broadcast — the 10^12-row case), where the join co-partitions both sides
+    by key and a hot key pins one task."""
     if max_bucket_size is not None:
         small = (
             x.groupBy("band", "bucket")
@@ -890,10 +930,26 @@ def _lsh_candidate_pairs(x, max_bucket_size: int | None = None):
             .drop("_n")
         )
         x = x.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+    # Round-robin repartition of the PROBE side before the self-join. The
+    # bands table is a handful of rows per doc, so when the source is a few
+    # parquet files Catalyst broadcasts the build side and runs the join over
+    # the probe side's file partitions — pair emission + the partial distinct
+    # (the ACTUAL heavy work: a bucket of m docs emits m(m-1)/2 pairs) then
+    # runs in as few tasks as there are files, serializing the whole stage
+    # (measured: 13s single task at any core count on sf0.1). Round-robin —
+    # not (band, bucket) hash — so one hot bucket's probe rows still spread
+    # across all tasks. Costs one shuffle of the tiny id+band+bucket rows.
+    par = x.sparkSession.sparkContext.defaultParallelism * 2
+    if salt and salt > 1:
+        a = x.repartition(par).withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt)).cast("int")
+        )
+        b = x.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        joined = a.alias("a").join(b.alias("b"), ["band", "bucket", "_salt"])
+    else:
+        joined = x.repartition(par).alias("a").join(x.alias("b"), ["band", "bucket"])
     return (
-        x.alias("a")
-        .join(x.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        joined.filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -912,8 +968,8 @@ def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None):
     (see `_lsh_candidate_pairs`); it defaults OFF here because the
     oracle-checked recall target depends on those buckets on this corpus."""
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.col("text"), r"\s+"))
-    x = d.select("doc_id", F.explode(_minhash_bands_spark(toks)).alias("bb")).select(
+    htoks = _hashed_tokens(F.col("text"))
+    x = d.select("doc_id", F.explode(_minhash_bands_spark(htoks)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     return _lsh_candidate_pairs(x, max_bucket_size)
@@ -927,19 +983,23 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None):
+def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
+                             salt: int | None = None):
     """The canonical near-dup pipeline at scale: LSH candidate generation
     (q29's bucketed self-join — never all-pairs, optional `max_bucket_size`
-    straggler cap) -> exact distinct-token Jaccard >= 0.5 verification (q26's
-    arithmetic) on candidates only. Composition the round-1 review asked for:
-    q26's O(n^2) cross join is now just the small-data oracle twin."""
+    cap / exact `salt` straggler mitigations) -> exact hashed-token Jaccard
+    >= 0.5 verification (q26's arithmetic over 60-bit token hashes — long
+    arrays intersect ~1.5x faster than string arrays and the Jaccard is
+    identical barring 60-bit collisions) on candidates only. Composition the
+    round-1 review asked for: q26's O(n^2) cross join is now just the
+    small-data oracle twin."""
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), r"\s+")).alias("toks")
+        "doc_id", _hashed_tokens(F.col("text")).alias("toks")
     )
     x = d.select("doc_id", F.explode(_minhash_bands_spark(F.col("toks"))).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cands = _lsh_candidate_pairs(x, max_bucket_size)
+    cands = _lsh_candidate_pairs(x, max_bucket_size, salt)
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     n_common = F.size(F.array_intersect("ta", "tb"))
@@ -960,13 +1020,13 @@ cands AS (
   FROM bands a JOIN bands b USING (band, bucket)
   WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
-       round(len(list_intersect(da.toks, db.toks)) * 1.0 /
-             (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))),
+       round(len(list_intersect(da.htoks, db.htoks)) * 1.0 /
+             (len(da.htoks) + len(db.htoks) - len(list_intersect(da.htoks, db.htoks))),
              6) AS jaccard
 FROM cands JOIN docs da ON cands.doc_a = da.doc_id
            JOIN docs db ON cands.doc_b = db.doc_id
-WHERE len(list_intersect(da.toks, db.toks)) * 1.0 /
-      (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) >= 0.5
+WHERE len(list_intersect(da.htoks, db.htoks)) * 1.0 /
+      (len(da.htoks) + len(db.htoks) - len(list_intersect(da.htoks, db.htoks))) >= 0.5
 """
 
 
@@ -1212,15 +1272,12 @@ def q42_embedding_neardup_lsh(spark, sf_dir):
             for b in range(_ND_BANDS)
         ]
     )
-    x = e.select("vec_id", F.explode(bands).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    x = e.select(F.col("vec_id").alias("doc_id"), F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cands = (
-        x.alias("a")
-        .join(x.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    # shared candidate-join helper: probe-side repartition + cap/salt knobs
+    cands = _lsh_candidate_pairs(x).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
@@ -1581,6 +1638,103 @@ _Q38_SQL = _langid_sql()
 # value oracle, making the unoracled twin redundant (VERDICT r2 #2).
 
 
+# Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# fingerprinting scheme): k-char rolling grams, window of w consecutive gram
+# hashes, keep the min of each window. Guarantee: any substring match of
+# length >= k + w - 1 shares at least one selected fingerprint.
+# k=16 spans ~3 words of this corpus's short vocabulary; _WN_MAX_DF drops
+# fingerprints present in more than that many documents before the pair join
+# (MOSS does the same): a ubiquitous fingerprint is boilerplate, carries no
+# discriminative signal, and its bucket is the same m^2 straggler as a hot
+# LSH bucket — without the cap this corpus's tiny vocabulary makes the pair
+# join quadratic in practice (measured 322s at sf0.01 vs <10s capped).
+_WN_K = 16
+_WN_W = 8
+_WN_MAX_DF = 50
+_WN_MIN_SHARED = 5
+
+
+def q43_winnowing_neardup(spark, sf_dir):
+    """Document fingerprinting via rolling-hash winnowing + shared-fingerprint
+    pair join: lowercase k-gram (k=16) hashes per position -> min of each
+    w=8 window -> distinct fingerprints per doc -> drop fingerprints present
+    in more than _WN_MAX_DF docs (stop-fingerprint removal, as in MOSS) ->
+    explode -> self-join on the fingerprint -> pairs sharing >= 5
+    fingerprints. Third member of the fingerprint family (q25 whole-doc hash,
+    q40 simhash): winnowing detects CONTAINED/overlapping spans (any shared
+    substring of >= k+w-1 chars is guaranteed a shared fingerprint), which
+    whole-doc and bag-of-token fingerprints both miss. Same scale shape as
+    q29: the shuffle keys are the fingerprint then the pair — never
+    all-pairs; the df cap is the same broadcast-semi-join straggler guard as
+    _lsh_candidate_pairs' max_bucket_size, here ON by default because a
+    ubiquitous fingerprint is definitionally boilerplate. The k-gram hash is
+    the md5-60bit extraction, so the whole pipeline has a DuckDB value
+    oracle. All expressions are JVM-side array HOFs: the text is scanned
+    once via posexplode + a codegen'd window min — NOT nested array HOFs: a
+    lambda-indexed slice over an invariant hash array re-evaluates the O(L)
+    md5 transform per window (O(L^2) md5s; measured 490s on 500 docs), while
+    the row formulation hashes each gram exactly once."""
+    d = load(spark, sf_dir, "documents")
+    txt = F.lower(F.col("text"))
+    n_grams = F.greatest(F.length(txt) - F.lit(_WN_K - 1), F.lit(1))
+    g = d.select("doc_id", txt.alias("_t"), n_grams.alias("n")).select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        F.col("_t"),
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        F.conv(F.substring(F.md5(F.col("_t").substr(F.col("i"), F.lit(_WN_K))), 1, 15),
+               16, 10).cast("long").alias("h"),
+    )
+    wmin = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WN_W - 1)
+    x = (
+        g.withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("i") <= F.greatest(F.col("n") - F.lit(_WN_W - 1), F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        x.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _WN_MAX_DF)
+        .drop("_df")
+    )
+    x = x.join(F.broadcast(rare), "fp", "left_semi")
+    return (
+        x.alias("a")
+        .join(x.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_MIN_SHARED)
+    )
+
+
+_Q43_SQL = f"""
+WITH d AS (SELECT doc_id, lower(text) AS txt,
+                  greatest(length(text) - {_WN_K - 1}, 1) AS n
+           FROM documents),
+g AS (SELECT doc_id, n, i,
+        CAST('0x' || substr(md5(substr(txt, CAST(i AS INT), {_WN_K})), 1, 15)
+             AS BIGINT) AS h
+      FROM d, unnest(range(1, n + 1)) AS u(i)),
+wm AS (SELECT doc_id, n, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS fp
+       FROM g),
+x0 AS (SELECT DISTINCT doc_id, fp FROM wm
+       WHERE i <= greatest(n - {_WN_W - 1}, 1)),
+rare AS (SELECT fp FROM x0 GROUP BY fp HAVING count(*) <= {_WN_MAX_DF}),
+x AS (SELECT doc_id, fp FROM x0 WHERE fp IN (SELECT fp FROM rare))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WN_MIN_SHARED}
+"""
+
+
 def q31_psi_drift(spark, sf_dir):
     """U18 recast with an oracle: PSI of `value` distribution, second half of
     the month vs first half, per event_type — same fixed-bin + eps-smoothed
@@ -1660,6 +1814,7 @@ QUERIES = {
     "q40_simhash_hamming": q40_simhash_hamming,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_embedding_neardup_lsh": q42_embedding_neardup_lsh,
+    "q43_winnowing_neardup": q43_winnowing_neardup,
 }
 
 ORACLES = {
@@ -1702,6 +1857,7 @@ ORACLES = {
     "q40_simhash_hamming": _Q40_SQL,
     "q41_bpe_tokens": _Q41_SQL,
     "q42_embedding_neardup_lsh": _Q42_SQL,
+    "q43_winnowing_neardup": _Q43_SQL,
 }
 
 

@@ -120,3 +120,52 @@ def test_bucket_size_cap_drops_mega_bucket_only(spark, tmp_path):
     outside = un - mega_pairs
     assert outside and outside <= cp   # true pairs outside the cap unchanged
     assert len(cp) < len(un) / 10      # the join actually shrank
+
+
+def test_salted_lsh_candidates_equal_unsalted(spark):
+    """The salt knob is EXACT: identical candidate set, only the task-level
+    work distribution changes (vs max_bucket_size, which is lossy)."""
+    base = q29_minhash_lsh(spark, SF_DIR).toPandas()
+    salted = q29_minhash_lsh_salted(spark, SF_DIR)
+    assert _pairs(base) == _pairs(salted.toPandas())
+
+
+def q29_minhash_lsh_salted(spark, sf_dir):
+    from real_time_anomaly_detection_spark.queries import (
+        _hashed_tokens, _lsh_candidate_pairs, _minhash_bands_spark, load)
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    htoks = _hashed_tokens(F.col("text"))
+    x = d.select("doc_id", F.explode(_minhash_bands_spark(htoks)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return _lsh_candidate_pairs(x, salt=8)
+
+
+def test_winnowing_finds_contained_span(spark, tmp_path):
+    """The winnowing guarantee: two docs sharing a substring of >= k+w-1
+    chars share at least one fingerprint — and a long shared span shares many,
+    even when the surrounding text (and the bag-of-words profile) is entirely
+    different. This is the case whole-doc hashing (q25) and simhash (q40)
+    both miss."""
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import q43_winnowing_neardup
+
+    span = ("the shared boilerplate license paragraph that both documents "
+            "embed verbatim somewhere inside otherwise unrelated content "
+            "providing plenty of rolling windows")
+    docs = [
+        {"doc_id": 1, "text": "alpha bravo charlie delta " * 8 + span +
+                              " echo foxtrot golf hotel " * 8},
+        {"doc_id": 2, "text": "one two three four five six " * 9 + span +
+                              " seven eight nine ten " * 9},
+        {"doc_id": 3, "text": "completely unrelated filler words " * 20},
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pd.DataFrame(docs)).write.parquet(
+        os.path.join(path, "documents.parquet"))
+    got = q43_winnowing_neardup(spark, path).toPandas()
+    found = set(zip(got.doc_a, got.doc_b))
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)

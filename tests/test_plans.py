@@ -134,3 +134,28 @@ def test_topk_uses_take_ordered(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     df = ev.orderBy(F.desc("ts")).limit(5)
     assert "TakeOrderedAndProject" in plan_str(df)
+
+
+def test_embedding_lsh_never_cartesian(spark):
+    """q42/q37 pin: the embedding near-dup and multi-probe ANN plans are
+    bucketed equi-joins — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere (the all-pairs shape lives only in the q27/q39 oracle twins)."""
+    from real_time_anomaly_detection_spark.queries import (
+        q37_ann_lsh_topk,
+        q42_embedding_neardup_lsh,
+    )
+
+    for q in (q42_embedding_neardup_lsh, q37_ann_lsh_topk):
+        p = plan_str(q(spark, SF))
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_winnowing_no_cartesian_and_caps_before_join(spark):
+    """q43 pin: pair generation is an equi-join on the fingerprint; the
+    stop-fingerprint df cap is a semi-join BEFORE the pair self-join."""
+    from real_time_anomaly_detection_spark.queries import q43_winnowing_neardup
+
+    p = plan_str(q43_winnowing_neardup(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftSemi" in p, p
