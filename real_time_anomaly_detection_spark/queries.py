@@ -1334,6 +1334,105 @@ WHERE list_dot_product(ea.emb, eb.emb) /
 _Q42_SQL = _q42_sql()
 
 
+# IVF parameters: number of coarse cells and probed cells per query. The
+# coarse quantizer uses the first _IVF_CELLS vectors (vec_id < 16) as fixed
+# centroids — deterministic and expressible identically in both engines;
+# production IVF would train centroids with k-means, which only changes how
+# the centroid table is produced, not the query plan shape.
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+
+def q44_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate-nearest-neighbor top-5 — the data-partitioned
+    alternative to q37's LSH bucketing: every vector is assigned to its
+    nearest coarse centroid (inverted-file cell); a probe searches its
+    _IVF_NPROBE nearest cells; exact cosine + top-k runs only inside probed
+    cells. Plan shape at 10^9 vectors: centroid table is _IVF_CELLS rows
+    (broadcast), assignment is a map-side argmax — no shuffle; the probe-cell
+    equi-join is keyed on the cell id, never all-pairs. IVF beats LSH when
+    the corpus is clustered (cells adapt to data where hyperplanes don't);
+    nprobe trades recall for candidates exactly like q37's Hamming-1
+    multi-probe."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    sim = dot / (norm("emb") * norm("c_emb"))
+    # nearest cell(s): broadcast the 16 centroids, rank per vector
+    ranked = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "emb", "cell", sim.alias("_sim"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("_rk") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb2"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("_rk") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"), "cell")
+    pdot = F.aggregate(
+        F.zip_with(F.col("p_emb"), F.col("c_emb2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        probes.join(assigned, "cell")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            _r6(pdot / (norm("p_emb") * norm("c_emb2"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+_Q44_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < {_IVF_CELLS}),
+ranked AS (
+  SELECT e.vec_id, e.emb, cents.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.emb, cents.c_emb) /
+                    (sqrt(list_dot_product(e.emb, e.emb)) *
+                     sqrt(list_dot_product(cents.c_emb, cents.c_emb))) DESC,
+                    cents.cell ASC) AS rk
+  FROM e, cents),
+assigned AS (SELECT vec_id AS cand_id, emb AS c_emb2, cell FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS probe_id, emb AS p_emb, cell
+           FROM ranked WHERE vec_id < 10 AND rk <= {_IVF_NPROBE}),
+pairs AS (
+  SELECT probe_id, cand_id,
+         round(list_dot_product(p_emb, c_emb2) /
+               (sqrt(list_dot_product(p_emb, p_emb)) *
+                sqrt(list_dot_product(c_emb2, c_emb2))), 6) AS cosine
+  FROM probes JOIN assigned USING (cell)
+  WHERE probe_id != cand_id)
+SELECT probe_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs) WHERE rank <= 5
+"""
+
+
 def q39_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup family): all pairs with cosine
     >= 0.45, computed exactly.
@@ -1815,6 +1914,7 @@ QUERIES = {
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_embedding_neardup_lsh": q42_embedding_neardup_lsh,
     "q43_winnowing_neardup": q43_winnowing_neardup,
+    "q44_ann_ivf_topk": q44_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -1858,6 +1958,7 @@ ORACLES = {
     "q41_bpe_tokens": _Q41_SQL,
     "q42_embedding_neardup_lsh": _Q42_SQL,
     "q43_winnowing_neardup": _Q43_SQL,
+    "q44_ann_ivf_topk": _Q44_SQL,
 }
 
 

@@ -169,3 +169,24 @@ def test_winnowing_finds_contained_span(spark, tmp_path):
     found = set(zip(got.doc_a, got.doc_b))
     assert (1, 2) in found
     assert not any(3 in p for p in found)
+
+
+def test_ivf_recall_pinned(spark):
+    """q44 (IVF, 16 fixed cells, nprobe=2) vs q27 brute-force truth: measured
+    0.94 at sf0.001 / 0.92 at sf0.01 while scoring only ~2/16 of the corpus
+    per probe — the data-partitioned cells adapt to the corpus where q37's
+    fixed hyperplanes (0.46) do not. Deterministic; floor documents the
+    operating point."""
+    from real_time_anomaly_detection_spark.queries import (
+        q27_embedding_topk,
+        q44_ann_ivf_topk,
+    )
+
+    truth, got = {}, {}
+    for r in q27_embedding_topk(spark, SF_DIR).collect():
+        truth.setdefault(r.probe_id, set()).add(r.cand_id)
+    for r in q44_ann_ivf_topk(spark, SF_DIR).collect():
+        got.setdefault(r.probe_id, set()).add(r.cand_id)
+    hits = sum(len(got.get(p, set()) & c) for p, c in truth.items())
+    recall = hits / sum(len(c) for c in truth.values())
+    assert recall >= 0.85, f"recall {recall:.3f}"
