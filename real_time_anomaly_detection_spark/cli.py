@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> None:
         # every clip with no hint the oracle, not the data, is wrong).
         p.add_argument("--synth-oracle", action="store_true",
                        help="enable audio checks using the synth oracle")
+        p.add_argument("--content-dedup", action="store_true",
+                       help="also detect identical audio payloads under "
+                            "different clip_ids (second bytes scan, "
+                            "digest-only shuffle)")
         p.add_argument("--n-clips", type=int, default=10000)
         p.add_argument("--clips-per-partition", type=int, default=1000)
         p.add_argument("--golden", action="store_true")
@@ -266,6 +270,9 @@ def main(argv: list[str] | None = None) -> None:
     baseline_rows = (
         drift.make_baseline(spark.read.parquet(args.baseline)) if args.baseline else None
     )
+    vcfg = engine.ValidationConfig()
+    if getattr(args, "content_dedup", False):
+        vcfg = engine.ValidationConfig(checks=(*vcfg.checks, "content_dedup"))
     ref_pcm_fn = None
     if getattr(args, "synth_oracle", False):
         from . import synth
@@ -299,6 +306,7 @@ def main(argv: list[str] | None = None) -> None:
             refs=refs,
             baseline_rows=baseline_rows,
             ref_pcm_fn=ref_pcm_fn,
+            cfg=vcfg,
             available_now=not args.continuous,
             processing_time=args.trigger,
             max_files_per_trigger=args.max_files_per_trigger,
@@ -310,7 +318,8 @@ def main(argv: list[str] | None = None) -> None:
     clips = spark.read.parquet(args.input)
     run_id = args.run_id or uuid.uuid4().hex[:12]
     kw = dict(
-        refs=refs, baseline_rows=baseline_rows, ref_pcm_fn=ref_pcm_fn, run_id=run_id
+        refs=refs, baseline_rows=baseline_rows, ref_pcm_fn=ref_pcm_fn, run_id=run_id,
+        cfg=vcfg,
     )
     if args.cmd == "validate":
         verdicts, violations = engine.validate(

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import manifest as mf
-from .operators import audio_checks, drift, referential, stats, uniqueness
+from .operators import audio_checks, content_dedup, drift, referential, stats, uniqueness
 from .schemas import PARTITION_VERDICTS, VIOLATIONS
 
 # Persisted DataFrames per validate() run, so callers can unpersist once the
@@ -76,6 +76,11 @@ class ValidationConfig:
     psi_threshold: float = drift.PSI_THRESHOLD
     ks_threshold: float = drift.KS_THRESHOLD
     drift_min_rows: int = drift.MIN_ROWS
+    # opt-in: 'content_dedup' in checks scans `bytes` a second time (a
+    # map-side sha2 digest — the payload still never shuffles) to catch the
+    # same audio ingested under DIFFERENT clip_ids; off by default because it
+    # doubles the payload-scan cost and key uniqueness already covers re-sent
+    # rows.
     # True: force broadcast of the refs side; False: force shuffle join;
     # None (default): no hint — Catalyst/AQE picks by size stats. At 10^12
     # rows the refs side is far past any broadcast threshold and a forced
@@ -92,6 +97,8 @@ class ValidationConfig:
             names += [f"column_stats:{c}" for c in self.columns]
         if "uniqueness" in self.checks:
             names.append("uniqueness")
+        if "content_dedup" in self.checks:
+            names.append("content_dedup")
         if "referential" in self.checks:
             names.append("referential")
         if "drift" in self.checks:
@@ -114,6 +121,8 @@ class ValidationConfig:
             names += [f"column_stats:{c}" for c in self.columns]
         if "uniqueness" in self.checks:
             names.append("uniqueness")
+        if "content_dedup" in self.checks:
+            names.append("content_dedup")
         if "referential" in self.checks and refs is not None:
             names.append("referential")
         if "drift" in self.checks and baseline_rows:
@@ -192,6 +201,12 @@ def validate(
                 uniqueness.uniqueness_violations(meta, "clip_id", cfg.part_col, cfg.salt_buckets)
             )
         _family("uniqueness", _build_uniqueness)
+    if "content_dedup" in cfg.checks:
+        def _build_content_dedup():
+            # second bytes scan, digest-only into the shuffle (module doc)
+            verdicts.append(content_dedup.content_dedup_verdicts(clips, cfg.part_col))
+            violations.append(content_dedup.content_dedup_violations(clips, cfg.part_col))
+        _family("content_dedup", _build_content_dedup)
     if "referential" in cfg.checks and refs is not None:
         def _build_referential():
             verdicts.append(referential.referential_verdicts(meta, refs, cfg.broadcast_refs))

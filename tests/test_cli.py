@@ -69,3 +69,14 @@ def test_stream_validate_cli_drains_and_is_resumable(spark, tmp_path):
     cli.main(["stream-validate", "--input", data, "--refs", data + "_refs",
               "--checkpoint", ckpt, "--out", out, "--synth-oracle"])
     assert spark.read.parquet(os.path.join(out, "verdicts")).count() == n1
+
+
+def test_validate_cli_content_dedup_flag(spark, tmp_path):
+    data = str(tmp_path / "cd_clips")
+    cli.main(["synth", "--n-clips", "120", "--clips-per-partition", "40",
+              "--out", data])
+    out = str(tmp_path / "cd_val")
+    cli.main(["validate", "--input", data, "--out", out, "--content-dedup"])
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    cd = v.filter(v.constraint == "content_dedup").collect()
+    assert len(cd) == 3 and all(r.status == "pass" for r in cd)

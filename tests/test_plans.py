@@ -159,3 +159,35 @@ def test_winnowing_no_cartesian_and_caps_before_join(spark):
     p = plan_str(q43_winnowing_neardup(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "LeftSemi" in p, p
+
+
+def test_content_dedup_digest_before_exchange(spark, clips_parquet):
+    """content_dedup's only contact with `bytes` is a map-side sha2 digest
+    fused below the first Exchange — the payload never shuffles. Checked by
+    walking the executed plan tree: no Exchange node may have `bytes` in any
+    attribute of its child output."""
+    from real_time_anomaly_detection_spark.operators import content_dedup
+
+    # AQE wraps everything in AdaptiveSparkPlanExec with no materialized
+    # children before execution — disable it for this plan inspection so the
+    # Exchange nodes are walkable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        v = content_dedup.content_dedup_verdicts(clips_parquet)
+        node = v._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def walk(n, out):
+        name = n.nodeName()
+        if "Exchange" in name:
+            cols = n.child().output().mkString(",")
+            out.append((name, cols))
+        for i in range(n.children().size()):
+            walk(n.children().apply(i), out)
+
+    exchanges = []
+    walk(node, exchanges)
+    assert exchanges, "expected at least one shuffle"
+    for name, cols in exchanges:
+        assert "bytes" not in cols, f"{name} shuffles the payload: {cols}"

@@ -252,3 +252,34 @@ def test_release_unpersists_cached_plans(spark, clips, refs, baseline_rows):
         engine.release(rid)
         assert jsc.getPersistentRDDs().size() == before
     engine.release("rel-0")  # double release is a no-op
+
+
+def test_content_dedup_cross_partition_different_ids(spark):
+    """content_dedup catches the case key-uniqueness cannot: identical
+    payload under DIFFERENT clip_ids, landing in DIFFERENT partitions. The
+    keeper (min clip_id) passes; every other copy is a violation row."""
+    import pandas as pd
+
+    cfg2 = synth.clean_config(n_clips=60, clips_per_partition=20)
+    pdf = synth.clips_pdf(cfg2)
+    dup = pdf.iloc[[0]].copy()
+    dup["clip_id"] = "zz-reupload"   # different key, same bytes
+    dup["part_id"] = 2               # different partition
+    clips = spark.createDataFrame(pd.concat([pdf, dup], ignore_index=True))
+
+    vcfg = engine.ValidationConfig(checks=("content_dedup",))
+    verdicts, violations = engine.validate(spark, clips, cfg=vcfg, run_id="cd1")
+    v = verdicts.toPandas().set_index("part_id")
+    assert v.loc[0].status == "pass"      # keeper's partition: no non-keeper rows
+    assert v.loc[2].status == "fail"
+    viol = violations.toPandas()
+    assert list(viol.clip_id) == ["zz-reupload"]
+    assert viol.expected.iloc[0] == pdf.clip_id.iloc[0]  # keeper named
+    engine.release("cd1")
+
+    # clean table: all partitions pass, no violations
+    clean = spark.createDataFrame(pdf)
+    verdicts2, violations2 = engine.validate(spark, clean, cfg=vcfg, run_id="cd2")
+    assert (verdicts2.toPandas().status == "pass").all()
+    assert violations2.count() == 0
+    engine.release("cd2")
