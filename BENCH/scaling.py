@@ -246,6 +246,18 @@ def main() -> None:
         main_neardup(args, lo, hi)
         return
 
+    # preserve manually-appended / neardup-mode sections across a validate
+    # rewrite: everything from the first secondary '## ' heading onward
+    tail = ""
+    if os.path.exists(args.out):
+        prev = open(args.out).read()
+        for marker in ("\n## Corroborating pair", "\n## Secondary pair",
+                       "\n## What changed", "\n## Near-dup family pair"):
+            i = prev.find(marker)
+            if i >= 0:
+                tail = prev[i:]
+                break
+
     ceiling = measure_ceiling(lo, hi)
     r_lo = run_level(lo, args.clips)
     r_hi = run_level(hi, args.clips)
@@ -294,6 +306,8 @@ is <1 min for 504 observations with ARIMA — the engine here validates
 at local[{hi}].
 """
         )
+        if tail:
+            f.write(tail)
 
 
 if __name__ == "__main__":
