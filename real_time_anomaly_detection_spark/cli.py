@@ -10,6 +10,7 @@ Subcommands mirror the engine API (SURVEY.md §7.1):
   incremental resume: validate only partitions missing from the manifest
   stream-validate  continuous validation of newly-arrived clip files
               (readStream + foreachBatch over the validate engine)
+  features    per-clip audio curation features + keep/drop filter
   report      assemble the JSON report document from a verdicts table (S10)
   export-csv  CSV export of any parquet table (S9, view_data.py:163-177)
   upsert      keyed MERGE of a parquet batch into a target table (S7)
@@ -134,6 +135,15 @@ def main(argv: list[str] | None = None) -> None:
                         "available input and exits")
     p.add_argument("--trigger", default="600 seconds")
 
+    p = sub.add_parser("features")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="output root: features/ and filter/ parquet dirs")
+    p.add_argument("--min-rms-db", type=float, default=-50.0)
+    p.add_argument("--max-clipping-ratio", type=float, default=0.01)
+    p.add_argument("--max-silence-ratio", type=float, default=0.9)
+
     p = sub.add_parser("report")
     _add_common(p)
     p.add_argument("--verdicts", required=True, help="verdicts parquet dir")
@@ -201,6 +211,21 @@ def main(argv: list[str] | None = None) -> None:
         else:
             q = writer.trigger(availableNow=True).start()
             q.awaitTermination()
+        print(args.out)
+        return
+
+    if args.cmd == "features":
+        from .operators import audio_features as AF
+
+        clips = spark.read.parquet(args.input)
+        feats = AF.extract_features(clips)
+        feats.write.mode("overwrite").parquet(os.path.join(args.out, "features"))
+        AF.quality_filter(
+            spark.read.parquet(os.path.join(args.out, "features")),
+            min_rms_db=args.min_rms_db,
+            max_clipping_ratio=args.max_clipping_ratio,
+            max_silence_ratio=args.max_silence_ratio,
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "filter"))
         print(args.out)
         return
 

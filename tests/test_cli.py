@@ -80,3 +80,16 @@ def test_validate_cli_content_dedup_flag(spark, tmp_path):
     v = spark.read.parquet(os.path.join(out, "verdicts"))
     cd = v.filter(v.constraint == "content_dedup").collect()
     assert len(cd) == 3 and all(r.status == "pass" for r in cd)
+
+
+def test_features_cli(spark, tmp_path):
+    data = str(tmp_path / "f_clips")
+    cli.main(["synth", "--n-clips", "80", "--clips-per-partition", "40",
+              "--out", data])
+    out = str(tmp_path / "f_out")
+    cli.main(["features", "--input", data, "--out", out])
+    feats = spark.read.parquet(os.path.join(out, "features"))
+    filt = spark.read.parquet(os.path.join(out, "filter"))
+    assert feats.count() == 80 and filt.count() == 80
+    assert feats.filter(~feats.decoded_ok).count() == 0  # clean synth decodes
+    assert filt.filter(filt.keep).count() == 80          # synth tones pass curation
