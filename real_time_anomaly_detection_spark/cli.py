@@ -117,6 +117,7 @@ def main(argv: list[str] | None = None) -> None:
                         "drains available input and exits")
     p.add_argument("--trigger", default="600 seconds")
     p.add_argument("--max-files-per-trigger", type=int)
+    p.add_argument("--manifest", help="append per-epoch verdict lineage here")
     _add_synth_oracle(p)
 
     p = sub.add_parser("stream-detect")
@@ -335,6 +336,7 @@ def main(argv: list[str] | None = None) -> None:
             available_now=not args.continuous,
             processing_time=args.trigger,
             max_files_per_trigger=args.max_files_per_trigger,
+            manifest_path=args.manifest,
         )
         q.awaitTermination()
         print(args.out)

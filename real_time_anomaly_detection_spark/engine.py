@@ -25,9 +25,9 @@ yields a status='error' verdict row and the run continues, and per-clip audio
 decode errors are caught inside the UDF and surface as status='error'
 partition verdicts. A runtime failure in any other family still aborts the
 whole validate action, because all families union into one lazy DataFrame and
-Spark evaluates it as one job; evaluating families as separate actions would
-buy runtime isolation at the cost of one job (and one source scan sync point)
-per family. Errored partitions are retried on resume
+Spark evaluates it as one job; `validate_isolated` trades one job (and one
+source-scan sync point) per family for full runtime isolation when that
+matters. Errored partitions are retried on resume
 (`manifest.completed_partitions` excludes them).
 """
 
@@ -245,6 +245,67 @@ def validate(
     verdicts_df = _union(spark, verdicts, PARTITION_VERDICTS)
     violations_df = _union(spark, violations, VIOLATIONS)
 
+    if manifest_path:
+        mf.append_manifest(verdicts_df, run_id, manifest_path)
+    return verdicts_df, violations_df
+
+
+def validate_isolated(
+    spark: SparkSession,
+    clips: DataFrame,
+    refs: DataFrame | None = None,
+    baseline_rows: list[dict] | None = None,
+    ref_pcm_fn: Callable[[str], np.ndarray] | None = None,
+    cfg: ValidationConfig | None = None,
+    run_id: str | None = None,
+    manifest_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """validate() with RUNTIME fault isolation per constraint family (the T7
+    upgrade the one-job design cannot give): each family runs as its own
+    materialized action, so a family that fails mid-execution — a corrupt
+    side input, an OOM'd join, a refs store outage — yields a status='error'
+    verdict row while every other family's results survive. Errored families'
+    partitions are retried on resume as usual.
+
+    Cost: one job (and one source-scan sync point) per family instead of one
+    shared job — the shared `meta` projection is scanned per family rather
+    than once. Use for long-running 100 TB runs where losing five finished
+    families to the sixth's runtime failure costs more than the extra scans;
+    the default validate() remains the cheap path. Returned DataFrames are
+    persisted results registered under `run_id` — call release(run_id) when
+    done with them."""
+    cfg = cfg or ValidationConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    from dataclasses import replace as _replace
+
+    verdicts: list[DataFrame] = []
+    violations: list[DataFrame] = []
+    for check in cfg.checks:
+        sub_rid = f"{run_id}:{check}"
+        try:
+            v, viol = validate(
+                spark,
+                clips,
+                refs=refs,
+                baseline_rows=baseline_rows,
+                ref_pcm_fn=ref_pcm_fn,
+                cfg=_replace(cfg, checks=(check,)),
+                run_id=sub_rid,
+            )
+            v, viol = v.persist(), viol.persist()
+            v.count(), viol.count()  # materialize: runtime failures surface HERE
+            _PERSISTED.setdefault(run_id, []).extend([v, viol])
+            verdicts.append(v)
+            violations.append(viol)
+        except Exception as exc:  # noqa: BLE001 — any family failure is recorded
+            verdicts.append(_error_verdict(spark, check, exc))
+        finally:
+            # the family's internal caches (its meta projection etc.) are no
+            # longer needed once its outputs are materialized (or it failed)
+            release(sub_rid)
+
+    verdicts_df = _union(spark, verdicts, PARTITION_VERDICTS)
+    violations_df = _union(spark, violations, VIOLATIONS)
     if manifest_path:
         mf.append_manifest(verdicts_df, run_id, manifest_path)
     return verdicts_df, violations_df

@@ -41,6 +41,7 @@ def stream_validate(
     available_now: bool = True,
     processing_time: str = "600 seconds",
     max_files_per_trigger: int | None = None,
+    manifest_path: str | None = None,
 ):
     """Continuously validate newly-arrived clip files. The file-source
     checkpoint makes each input file processed exactly once per SUCCESSFUL
@@ -58,6 +59,8 @@ def stream_validate(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.dropDuplicates(["clip_id", "part_id"])  # T2 in-batch dedup
+        # manifest lineage per epoch (T5): run_id=epoch-N ties every verdict
+        # row back to the source-checkpoint epoch that produced it
         verdicts, violations = engine.validate(
             spark,
             batch_df,
@@ -66,6 +69,7 @@ def stream_validate(
             ref_pcm_fn=ref_pcm_fn,
             cfg=cfg,
             run_id=f"epoch-{epoch_id}",
+            manifest_path=manifest_path,
         )
         # epoch-keyed overwrite = idempotent retry; epoch_id survives as a
         # partition column when the output directory is read back

@@ -93,3 +93,28 @@ def test_windowed_stats_streaming_drain(spark, tmp_path):
     )
     assert len(merged) == len(got)
     assert (merged.n_s == merged.n_b).all()
+
+
+def test_stream_validate_manifest_lineage(spark, tmp_path):
+    """Per-epoch manifest lineage (T5): every verdict row lands in the
+    manifest under run_id=epoch-N, and duplicate appends from a retried
+    epoch cannot un-complete a partition (countDistinct semantics)."""
+    from real_time_anomaly_detection_spark import manifest as mf
+    from real_time_anomaly_detection_spark.streaming import incremental
+
+    cfg = synth.clean_config(n_clips=200, clips_per_partition=100)
+    inp = str(tmp_path / "mclips")
+    spark.createDataFrame(synth.clips_pdf(cfg)).write.parquet(inp)
+    man = str(tmp_path / "mman")
+    q = incremental.stream_validate(
+        spark, inp, str(tmp_path / "mck"), str(tmp_path / "mv"),
+        cfg=__import__("real_time_anomaly_detection_spark.engine", fromlist=["engine"]).ValidationConfig(
+            checks=("column_stats", "uniqueness")),
+        manifest_path=man,
+    )
+    q.awaitTermination()
+    rows = mf.read_manifest(spark, man)
+    assert rows.count() > 0
+    assert set(r.run_id for r in rows.select("run_id").distinct().collect()) == {"epoch-0"}
+    done = mf.completed_partitions(rows, 3).toPandas()  # 2 stats cols + uniqueness
+    assert sorted(done.part_id) == [0, 1]

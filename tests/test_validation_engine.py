@@ -283,3 +283,45 @@ def test_content_dedup_cross_partition_different_ids(spark):
     assert (verdicts2.toPandas().status == "pass").all()
     assert violations2.count() == 0
     engine.release("cd2")
+
+
+def test_validate_isolated_survives_runtime_family_failure(spark, clips):
+    """validate_isolated: a family that fails at RUNTIME (not plan build)
+    yields an error verdict while the other families' results survive — the
+    isolation the single-job validate() cannot provide (its families union
+    into one action)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.udf(T.StringType())
+    def _boom(s):
+        raise RuntimeError("refs store outage")
+
+    # builds fine; explodes when the referential join actually executes
+    bad_refs = (
+        spark.createDataFrame(synth.clips_pdf(CLEAN))
+        .select(_boom(F.col("clip_id")).alias("clip_id"),
+                F.col("transcript"))
+    )
+    vcfg = engine.ValidationConfig(checks=("column_stats", "uniqueness", "referential"))
+    verdicts, violations = engine.validate_isolated(
+        spark, clips, refs=bad_refs, cfg=vcfg, run_id="iso1"
+    )
+    vdf = verdicts.toPandas()
+    ref_rows = vdf[vdf.constraint == "referential"]
+    assert list(ref_rows.status) == ["error"]
+    assert "refs store outage" in ref_rows.detail.iloc[0]
+    # the healthy families are complete and normal
+    assert (vdf[vdf.constraint == "uniqueness"].status.isin(["pass", "fail"])).all()
+    assert len(vdf[vdf.constraint == "uniqueness"]) == 10
+    assert (vdf.constraint.str.startswith("column_stats:")).sum() == 20
+    assert violations.filter("constraint = 'uniqueness'").count() > 0
+    engine.release("iso1")
+
+    # plain validate() on the same inputs aborts the whole action (documented)
+    v2, _ = engine.validate(spark, clips, refs=bad_refs, cfg=vcfg, run_id="iso2")
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        v2.count()
+    engine.release("iso2")
