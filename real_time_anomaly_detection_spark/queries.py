@@ -1682,12 +1682,24 @@ def q38_language_id(spark, sf_dir):
         stop_arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
 
-    scores = [(lang, _score(words)) for lang, words in _LANGID_PROFILES]
-    best = None
-    for lang, sc in scores:
-        cur = F.struct(sc.alias("score"), F.lit(lang).alias("lang"))
-        # strict > : earlier profile wins ties (deterministic, both engines)
-        best = cur if best is None else F.when(sc > best["score"], cur).otherwise(best)
+    # argmax as ONE array_max over (score, -index, lang) structs — struct
+    # ordering is lexicographic, so strict-greater score wins and equal
+    # scores fall to the larger -index = EARLIER profile (deterministic,
+    # matching the oracle). A when/otherwise fold here is a trap: each
+    # best["score"] reference re-inlines the accumulated expression, growing
+    # the tree exponentially in the profile count (measured 3.4s -> this
+    # form is linear).
+    entries = F.array(
+        *[
+            F.struct(
+                _score(words).alias("score"),
+                F.lit(-i).alias("neg_i"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, words) in enumerate(_LANGID_PROFILES)
+        ]
+    )
+    best = F.array_max(entries)
     pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
     scored = d.select(
         pred.alias("lang_pred"),
