@@ -11,6 +11,8 @@ Subcommands mirror the engine API (SURVEY.md §7.1):
   stream-validate  continuous validation of newly-arrived clip files
               (readStream + foreachBatch over the validate engine)
   features    per-clip audio curation features + keep/drop filter
+  stream-dedup incremental near-dup detection at ingest (new docs vs the
+              accumulated corpus, MinHash-LSH candidates + exact verify)
   report      assemble the JSON report document from a verdicts table (S10)
   export-csv  CSV export of any parquet table (S9, view_data.py:163-177)
   upsert      keyed MERGE of a parquet batch into a target table (S7)
@@ -145,6 +147,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-clipping-ratio", type=float, default=0.01)
     p.add_argument("--max-silence-ratio", type=float, default=0.9)
 
+    p = sub.add_parser("stream-dedup")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="documents parquet dir watched as a stream")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True,
+                   help="output root: pairs/ + bands_store/ + docs_store/")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--continuous", action="store_true")
+    p.add_argument("--trigger", default="600 seconds")
+
     p = sub.add_parser("report")
     _add_common(p)
     p.add_argument("--verdicts", required=True, help="verdicts parquet dir")
@@ -212,6 +224,19 @@ def main(argv: list[str] | None = None) -> None:
         else:
             q = writer.trigger(availableNow=True).start()
             q.awaitTermination()
+        print(args.out)
+        return
+
+    if args.cmd == "stream-dedup":
+        from .streaming import dedup_stream
+
+        q = dedup_stream.stream_dedup(
+            spark, args.input, args.checkpoint, args.out,
+            threshold=args.threshold,
+            available_now=not args.continuous,
+            processing_time=args.trigger,
+        )
+        q.awaitTermination()
         print(args.out)
         return
 
