@@ -1885,6 +1885,50 @@ FROM t GROUP BY event_type
 """
 
 
+# Deterministic 80/10/10 train/val/test split. Assignment is a pure function
+# of doc_id — stable under reprocessing, reshuffling, and corpus growth (a
+# doc never migrates between splits when new docs arrive), which is the
+# property random()-based splitting lacks.
+def q45_hash_split(spark, sf_dir):
+    """Training-data split assignment: bucket = md5-60bit(doc_id) % 100 ->
+    train/val/test by fixed bound (80/10/10). One map-side expression + one
+    hash agg for the rollup (counts + mean doc length per split) — no
+    shuffle beyond the agg; the same expression works as a WHERE filter to
+    materialize any single split without computing the others."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 100
+    # train < 80 <= val < 90 <= test (flat when-chain: no nested re-inlining)
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), F.length("text").alias("_len"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r6(F.avg("_len")).alias("mean_len"),
+        )
+    )
+
+
+_Q45_SQL = """
+WITH s AS (
+  SELECT CASE
+           WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 80
+             THEN 'train'
+           WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 90
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         length(text) AS _len
+  FROM documents)
+SELECT split, count(*) AS n_docs, round(avg(_len), 6) AS mean_len
+FROM s GROUP BY split
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_window_scan": q02_window_scan,
@@ -1927,6 +1971,7 @@ QUERIES = {
     "q42_embedding_neardup_lsh": q42_embedding_neardup_lsh,
     "q43_winnowing_neardup": q43_winnowing_neardup,
     "q44_ann_ivf_topk": q44_ann_ivf_topk,
+    "q45_hash_split": q45_hash_split,
 }
 
 ORACLES = {
@@ -1971,6 +2016,7 @@ ORACLES = {
     "q42_embedding_neardup_lsh": _Q42_SQL,
     "q43_winnowing_neardup": _Q43_SQL,
     "q44_ann_ivf_topk": _Q44_SQL,
+    "q45_hash_split": _Q45_SQL,
 }
 
 
