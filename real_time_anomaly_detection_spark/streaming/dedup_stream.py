@@ -104,16 +104,16 @@ def stream_dedup(
         )
         within_pairs = _verify(within, new_toks, new_toks, threshold)
 
-        # cross-batch pairs: new docs vs the accumulated store
-        try:
+        # cross-batch pairs: new docs vs the accumulated store. 'Store
+        # absent' is a filesystem probe, NOT a caught read error — a corrupt
+        # store must fail the epoch (and be retried) rather than silently
+        # dropping every cross-batch pair (same contract as sinks.upsert).
+        has_store = os.path.isdir(bands_store)
+        if has_store:
             old_bands = spark.read.parquet(bands_store).filter(
                 F.col("epoch_id") < epoch_id  # a retried epoch must not see its own partial state
             )
             old_toks = spark.read.parquet(docs_store).filter(F.col("epoch_id") < epoch_id)
-            has_store = True
-        except Exception:
-            has_store = False
-        if has_store:
             cross = (
                 old_bands.alias("a")
                 .join(new_bands.alias("b"), ["band", "bucket"])
