@@ -1348,44 +1348,74 @@ def q44_ann_ivf_topk(spark, sf_dir):
     alternative to q37's LSH bucketing: every vector is assigned to its
     nearest coarse centroid (inverted-file cell); a probe searches its
     _IVF_NPROBE nearest cells; exact cosine + top-k runs only inside probed
-    cells. Plan shape at 10^9 vectors: centroid table is _IVF_CELLS rows
-    (broadcast), assignment is a map-side argmax — no shuffle; the probe-cell
-    equi-join is keyed on the cell id, never all-pairs. IVF beats LSH when
+    cells. Plan shape at 10^9 vectors: the _IVF_CELLS-row centroid table is
+    collected once and embedded as literals, so assignment is a map-side
+    array_sort argmax — NO shuffle anywhere before the probe-cell equi-join
+    (which Catalyst broadcasts: the probe side is tiny). IVF beats LSH when
     the corpus is clustered (cells adapt to data where hyperplanes don't);
     nprobe trades recall for candidates exactly like q37's Hamming-1
     multi-probe."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    cents = e.filter(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("emb").alias("c_emb")
+    # The coarse quantizer is 16 rows — collect it ONCE to the driver
+    # (metadata-sized, like the drift baselines) and embed it as a literal
+    # array of (cell, unit-normalized centroid) structs, so cell assignment
+    # is a genuinely map-side expression: at 10^9 vectors the alternative
+    # (broadcast-join the centroids then window-rank per vector) shuffles a
+    # 16n-row exploded table just to pick an argmax.
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < _IVF_CELLS).collect(), key=lambda r: r.vec_id
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("c_emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    import math as _math
+
+    def _cent_lit(r):
+        nrm = _math.sqrt(sum(v * v for v in r.emb)) or 1.0
+        return F.struct(
+            F.lit(int(r.vec_id)).alias("cell"),
+            F.array(*[F.lit(v / nrm) for v in r.emb]).alias("c_emb"),
+        )
+
+    cents_lit = F.array(*[_cent_lit(r) for r in cent_rows])
+
+    def _cos_to(c_struct):
+        # centroid pre-normalized, so cosine = dot(emb, c) / |emb|
+        return F.aggregate(
+            F.zip_with(F.col("emb"), c_struct["c_emb"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    sim = dot / (norm("emb") * norm("c_emb"))
-    # nearest cell(s): broadcast the 16 centroids, rank per vector
-    ranked = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "emb", "cell", sim.alias("_sim"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cell"))
-            ),
+    # top-_IVF_NPROBE cells per vector: sort (neg_sim, cell) structs asc ->
+    # best first; |emb| is a common positive factor, so it cannot change the
+    # ordering and is dropped from the sort key entirely
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                cents_lit,
+                lambda c: F.struct((-_cos_to(c)).alias("neg_sim"), c["cell"].alias("cell")),
+            )
+        ),
+        1,
+        _IVF_NPROBE,
+    )
+    scored = e.withColumn("_cells", ranked_cells)
+    assigned = scored.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb2"),
+        F.element_at("_cells", 1)["cell"].alias("cell"),
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("emb").alias("p_emb"),
+            F.explode(F.transform("_cells", lambda c: c["cell"])).alias("cell"),
         )
     )
-    assigned = ranked.filter(F.col("_rk") == 1).select(
-        F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb2"), "cell"
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") < 10) & (F.col("_rk") <= _IVF_NPROBE)
-    ).select(F.col("vec_id").alias("probe_id"), F.col("emb").alias("p_emb"), "cell")
     pdot = F.aggregate(
         F.zip_with(F.col("p_emb"), F.col("c_emb2"), lambda x, y: x * y),
         F.lit(0.0),
