@@ -153,7 +153,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True,
                    help="output root: pairs/ + bands_store/ + docs_store/")
-    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--modality", choices=["text", "embedding"], default="text")
+    p.add_argument("--threshold", type=float,
+                   help="similarity floor (default: 0.5 jaccard for text, "
+                        "0.45 cosine for embedding)")
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
@@ -232,6 +235,7 @@ def main(argv: list[str] | None = None) -> None:
 
         q = dedup_stream.stream_dedup(
             spark, args.input, args.checkpoint, args.out,
+            modality=args.modality,
             threshold=args.threshold,
             available_now=not args.continuous,
             processing_time=args.trigger,

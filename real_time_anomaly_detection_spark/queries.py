@@ -1234,30 +1234,19 @@ def _nd_planes() -> list[list[float]]:
 _ND_PLANES = _nd_planes()
 
 
-def q42_embedding_neardup_lsh(spark, sf_dir):
-    """The canonical embedding near-dup pipeline at scale (q34's analog for
-    vectors, closing round 2's last all-pairs hole): banded cosine-LSH
-    candidate generation -> exact cosine >= 0.45 verification on candidates
-    only. ONE explode to (vec_id, band, bucket) -> ONE self-join on
-    (band, bucket) -> distinct id pairs -> join the vectors back and verify.
-    The shuffle key is (band, bucket), never all-pairs, and the 512-byte
-    embedding never rides through the banded join — only ids do; q39's O(n^2)
-    cross join remains solely as this query's small-data oracle twin.
-    Precision is exact (every emitted pair is verified); recall is the
-    banded-LSH collision probability, pinned by tests/test_neardup.py."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
+def _nd_bands_expr(emb_col: str):
+    """[(band, bucket)] array column for the banded cosine LSH — shared by
+    q42 and the streaming embedding dedup."""
 
     def _dot_lit(plane):
         arr = F.array(*[F.lit(v) for v in plane])
         return F.aggregate(
-            F.zip_with(F.col("emb"), arr, lambda x, y: x * y),
+            F.zip_with(F.col(emb_col), arr, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
 
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -1272,7 +1261,23 @@ def q42_embedding_neardup_lsh(spark, sf_dir):
             for b in range(_ND_BANDS)
         ]
     )
-    x = e.select(F.col("vec_id").alias("doc_id"), F.explode(bands).alias("bb")).select(
+
+
+def q42_embedding_neardup_lsh(spark, sf_dir):
+    """The canonical embedding near-dup pipeline at scale (q34's analog for
+    vectors, closing round 2's last all-pairs hole): banded cosine-LSH
+    candidate generation -> exact cosine >= 0.45 verification on candidates
+    only. ONE explode to (vec_id, band, bucket) -> ONE self-join on
+    (band, bucket) -> distinct id pairs -> join the vectors back and verify.
+    The shuffle key is (band, bucket), never all-pairs, and the 512-byte
+    embedding never rides through the banded join — only ids do; q39's O(n^2)
+    cross join remains solely as this query's small-data oracle twin.
+    Precision is exact (every emitted pair is verified); recall is the
+    banded-LSH collision probability, pinned by tests/test_neardup.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    x = e.select(F.col("vec_id").alias("doc_id"), F.explode(_nd_bands_expr("emb")).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     # shared candidate-join helper: probe-side repartition + cap/salt knobs

@@ -62,7 +62,7 @@ def test_cross_batch_pairs_and_batch_equivalence(spark, tmp_path):
 
     # jaccard values match the batch pipeline exactly
     tv = {frozenset((a, b)): j for a, b, j in zip(truth.doc_a, truth.doc_b, truth.jaccard)}
-    for a, b, j in zip(got_pdf.doc_a, got_pdf.doc_b, got_pdf.jaccard):
+    for a, b, j in zip(got_pdf.doc_a, got_pdf.doc_b, got_pdf.similarity):
         assert j == tv[frozenset((a, b))]
 
 
@@ -72,3 +72,46 @@ def test_redrain_without_new_files_is_noop(spark, tmp_path):
     q = dedup_stream.stream_dedup(spark, src, ckpt, out)
     q.awaitTermination()
     assert spark.read.parquet(os.path.join(out, "pairs")).count() == before
+
+
+def test_embedding_stream_dedup_matches_batch(spark, tmp_path):
+    """Embedding modality: streamed pairs equal the batch q42 pipeline's on
+    the unioned corpus, including cross-batch near-dup discovery."""
+    import numpy as np
+
+    from real_time_anomaly_detection_spark.queries import q42_embedding_neardup_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 64))
+
+    def vec(i, noise=0.0):
+        v = base[i] + noise * rng.normal(size=64)
+        return [float(x) for x in v]
+
+    b1 = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "embedding": [vec(0), vec(1), vec(2)]})
+    # 10 is a near-copy of 0 (cross-batch), 11 near-copy of 1, 12 independent
+    b2 = pd.DataFrame({"doc_id": [10, 11, 12],
+                       "embedding": [vec(0, 0.05), vec(1, 0.05), vec(5)]})
+
+    src = str(tmp_path / "es_src")
+    out = str(tmp_path / "es_out")
+    ckpt = str(tmp_path / "es_ckpt")
+    for pdf in (b1, b2):
+        spark.createDataFrame(pdf, "doc_id long, embedding array<float>") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q = dedup_stream.stream_dedup(spark, src, ckpt, out, modality="embedding")
+        q.awaitTermination()
+    got = spark.read.parquet(os.path.join(out, "pairs")).toPandas()
+    got_pairs = {frozenset((a, b)) for a, b in zip(got.doc_a, got.doc_b)}
+
+    all_dir = str(tmp_path / "es_all")
+    allp = pd.concat([b1, b2]).rename(columns={"doc_id": "vec_id"})
+    spark.createDataFrame(allp, "vec_id long, embedding array<float>") \
+        .write.parquet(os.path.join(all_dir, "embeddings.parquet"))
+    truth = q42_embedding_neardup_lsh(spark, all_dir).toPandas()
+    truth_pairs = {frozenset((a, b)) for a, b in zip(truth.vec_a, truth.vec_b)}
+    assert got_pairs == truth_pairs
+    assert frozenset((0, 10)) in got_pairs  # cross-batch near-copy found
+    assert frozenset((1, 11)) in got_pairs
+    assert not any(12 in p for p in got_pairs)
