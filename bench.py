@@ -89,12 +89,19 @@ def bench_validation(spark, n_clips: int) -> tuple[float, int]:
 
     wcfg, wclips, wrefs = clips_table(spark, min(n_clips, 4000))
     run_once(wcfg, wclips, wrefs)  # warm-up (small table)
-    spark.catalog.clearCache()
-    spark._jvm.System.gc()
 
-    t0 = time.perf_counter()
-    run_once(cfg, clips, refs)
-    return time.perf_counter() - t0, n_rows
+    # median of 3: single-run numbers on this shared VM swing +/-30% with
+    # thermal/steal state (identical code measured 27-55s across a day), and
+    # this is the recorded headline metric — de-noise it. Cache cleared +
+    # driver GC before every run so each re-executes the full job.
+    times = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        run_once(cfg, clips, refs)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1], n_rows
 
 
 def main() -> None:
