@@ -293,8 +293,10 @@ def validate_isolated(
                 run_id=sub_rid,
             )
             v, viol = v.persist(), viol.persist()
-            v.count(), viol.count()  # materialize: runtime failures surface HERE
+            # register BEFORE materializing: if the second count raises, the
+            # first persisted result must still be releasable via run_id
             _PERSISTED.setdefault(run_id, []).extend([v, viol])
+            v.count(), viol.count()  # materialize: runtime failures surface HERE
             verdicts.append(v)
             violations.append(viol)
         except Exception as exc:  # noqa: BLE001 — any family failure is recorded
