@@ -318,10 +318,12 @@ def test_validate_isolated_survives_runtime_family_failure(spark, clips):
     assert violations.filter("constraint = 'uniqueness'").count() > 0
     engine.release("iso1")
 
-    # plain validate() on the same inputs aborts the whole action (documented)
+    # plain validate() on the same inputs aborts the whole action (documented).
+    # collect(), not count(): a count-only plan can prune its way around the
+    # failing expression and succeed, which says nothing about the run.
     v2, _ = engine.validate(spark, clips, refs=bad_refs, cfg=vcfg, run_id="iso2")
     import pytest as _pt
 
     with _pt.raises(Exception):
-        v2.count()
+        v2.collect()
     engine.release("iso2")
