@@ -93,14 +93,34 @@ def write_clips(
     )
 
 
-def read_clips(spark: SparkSession, path: str) -> DataFrame:
+def read_clips(
+    spark: SparkSession, path: str, use_iceberg: bool | None = None
+) -> DataFrame:
     """Read back with `part_id` as a partition column — filters on it prune
-    directories at the source (X3)."""
+    directories (parquet) / partitions (Iceberg) at the source (X3)."""
+    if use_iceberg is None:
+        use_iceberg = iceberg_available(spark) and "/" not in path
+    if use_iceberg:
+        return spark.read.table(path)
     return spark.read.parquet(os.path.join(path, "data"))
 
 
-def snapshots(spark: SparkSession, path: str) -> DataFrame:
+def snapshots(
+    spark: SparkSession, path: str, use_iceberg: bool | None = None
+) -> DataFrame:
     """Commit lineage (the Iceberg `.snapshots` metadata table's role)."""
+    if use_iceberg is None:
+        use_iceberg = iceberg_available(spark) and "/" not in path
+    if use_iceberg:
+        # Iceberg exposes lineage as the `<table>.snapshots` metadata table;
+        # project to the sidecar's shape so callers are backend-agnostic
+        return spark.read.table(f"{path}.snapshots").select(
+            F.col("snapshot_id").cast("string").alias("snapshot_id"),
+            (F.col("committed_at").cast("double")).alias("committed_at"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("array<int>").alias("parts"),
+            F.col("operation").alias("mode"),
+        )
     sp = _snapshot_path(path)
     files = [os.path.join(sp, f) for f in os.listdir(sp)] if os.path.isdir(sp) else []
     rows = []
@@ -118,8 +138,13 @@ def new_parts_since(
     spark: SparkSession, path: str, seen_snapshot_ids: set[str]
 ) -> list[int]:
     """Partition ids committed by snapshots not yet seen — the incremental
-    validator's discovery hook (snapshot diff instead of directory listing)."""
-    snaps = snapshots(spark, path).collect()
+    validator's discovery hook (snapshot diff instead of directory listing).
+
+    Parquet-backend only: on Iceberg the equivalent is the incremental read
+    (`spark.read.format('iceberg').option('start-snapshot-id', <seen>)`),
+    which yields the new ROWS directly rather than new partition ids —
+    callers on that backend should validate the incremental frame itself."""
+    snaps = snapshots(spark, path, use_iceberg=False).collect()
     parts: set[int] = set()
     for s in snaps:
         if s.snapshot_id not in seen_snapshot_ids:
