@@ -163,6 +163,9 @@ def stream_dedup(
             cross = (
                 old_bands.alias("a")
                 .join(new_bands.alias("b"), ["band", "bucket"])
+                # a re-ingested doc_id (same id arriving again in a later
+                # batch) must not self-pair at similarity 1.0
+                .filter(F.col("a.doc_id") != F.col("b.doc_id"))
                 .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
                 .distinct()
             )

@@ -115,3 +115,13 @@ def test_embedding_stream_dedup_matches_batch(spark, tmp_path):
     assert frozenset((0, 10)) in got_pairs  # cross-batch near-copy found
     assert frozenset((1, 11)) in got_pairs
     assert not any(12 in p for p in got_pairs)
+
+
+def test_reingested_doc_id_does_not_self_pair(spark, tmp_path):
+    """A document re-sent in a later batch (same doc_id, same text) must not
+    emit a (x, x, 1.0) self-pair from the cross-batch join."""
+    b1 = _docs(BATCH1)
+    b2 = _docs([BATCH1[0]])  # doc 1 arrives again
+    src, out, ckpt = _drain(spark, tmp_path, [b1, b2])
+    got = spark.read.parquet(os.path.join(out, "pairs")).toPandas()
+    assert not (got.doc_a == got.doc_b).any()
