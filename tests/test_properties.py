@@ -37,10 +37,12 @@ def test_codec_roundtrip_snr(x, codec):
         return  # near-silence: SNR is energy-relative, gate not meaningful
     y = codecs.decode(codecs.encode(x, codec), codec)
     assert y.shape == x.shape
+    # slack applies to the cap too: hypothesis finds full-scale signals a
+    # fraction of a dB under the nominal figures (e.g. 24.997 for mu-law)
     if codec == "pcm16":
-        bound = min(60.0, 20 * np.log10(rms * 2 * 32767) - 3.0)
+        bound = min(60.0, 20 * np.log10(rms * 2 * 32767)) - 3.0
     else:
-        bound = min(25.0, 20 * np.log10(rms * 2 * 8159) - 3.0)
+        bound = min(25.0, 20 * np.log10(rms * 2 * 8159)) - 3.0
     assert codecs.snr_db(x, y) >= bound
 
 
