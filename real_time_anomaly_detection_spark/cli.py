@@ -157,6 +157,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--threshold", type=float,
                    help="similarity floor (default: 0.5 jaccard for text, "
                         "0.45 cosine for embedding)")
+    p.add_argument("--max-bucket-size", type=int,
+                   help="LOSSY hot-bucket cap: drop LSH buckets larger than "
+                        "this before the candidate joins")
+    p.add_argument("--salt", type=int,
+                   help="EXACT hot-bucket mitigation: split each bucket's "
+                        "pair work across this many tasks")
+    p.add_argument("--store-buckets", type=int, default=64,
+                   help="hash-bucket partition count for the state stores "
+                        "(file pruning granularity)")
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
@@ -237,6 +246,9 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.input, args.checkpoint, args.out,
             modality=args.modality,
             threshold=args.threshold,
+            max_bucket_size=args.max_bucket_size,
+            salt=args.salt,
+            store_buckets=args.store_buckets,
             available_now=not args.continuous,
             processing_time=args.trigger,
         )

@@ -1263,7 +1263,8 @@ def _nd_bands_expr(emb_col: str):
     )
 
 
-def q42_embedding_neardup_lsh(spark, sf_dir):
+def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
+                              salt: int | None = None):
     """The canonical embedding near-dup pipeline at scale (q34's analog for
     vectors, closing round 2's last all-pairs hole): banded cosine-LSH
     candidate generation -> exact cosine >= 0.45 verification on candidates
@@ -1273,7 +1274,13 @@ def q42_embedding_neardup_lsh(spark, sf_dir):
     embedding never rides through the banded join — only ids do; q39's O(n^2)
     cross join remains solely as this query's small-data oracle twin.
     Precision is exact (every emitted pair is verified); recall is the
-    banded-LSH collision probability, pinned by tests/test_neardup.py."""
+    banded-LSH collision probability, pinned by tests/test_neardup.py.
+
+    `max_bucket_size` / `salt` are q34's hot-bucket straggler mitigations
+    (see `_lsh_candidate_pairs`), threaded through identically: a boilerplate
+    embedding cluster (e.g. all-zero vectors hashing to one bucket) caps or
+    salts the same way a boilerplate text bucket does. Defaults off — the
+    oracle twin has no cap."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
@@ -1281,7 +1288,7 @@ def q42_embedding_neardup_lsh(spark, sf_dir):
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     # shared candidate-join helper: probe-side repartition + cap/salt knobs
-    cands = _lsh_candidate_pairs(x).select(
+    cands = _lsh_candidate_pairs(x, max_bucket_size, salt).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))

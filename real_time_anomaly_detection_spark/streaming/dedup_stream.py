@@ -24,25 +24,53 @@ T1/T2/T5 skeleton as streaming/incremental.py):
     5. write verified pairs under pairs/epoch_id=N.
 
 State is a pair of parquet tables, NOT driver memory — executors join
-against it, so the accumulated corpus can be arbitrarily large; at real scale
-both stores would be Iceberg tables bucketed by (band, bucket) to make the
-step-2 join co-located. The bucket-size cap / salt mitigations from
-queries._lsh_candidate_pairs apply to the store join identically.
+against it, so the accumulated corpus can be arbitrarily large. Both stores
+are BUCKET-PARTITIONED so per-epoch cost tracks the batch's candidate
+volume, not total store size:
+
+  bands_store   partitioned by sbucket = pmod(hash(band, bucket), B) — the
+                epoch read prunes to the sbuckets the new batch actually
+                touches (a driver-side list of <= B ints pushed down as a
+                partition IN-filter, i.e. genuine file pruning);
+  payload_store partitioned by pbucket = pmod(hash(doc_id), B) — the verify
+                read prunes to the pbuckets of the candidate pairs' store
+                side. All epochs of one doc_id share a pbucket, so the
+                keep-latest-epoch window below is exact within the pruned
+                subset.
+
+Stale band rows (a doc re-ingested with CHANGED content leaves its old
+bands in sbuckets the new epoch doesn't overwrite) are harmless by
+construction: they can only ever ADD candidate pairs, and every candidate
+is verified against the keep-latest payload — extra verify work, never a
+wrong pair. Payloads, by contrast, MUST be keep-latest (a pair's similarity
+is computed on them), hence the max-epoch window on the payload read.
+
+The bucket-size cap / salt mitigations from queries._lsh_candidate_pairs
+apply to both the within-batch self-join (reused directly) and the
+cross-batch store join (same two knobs, re-derived for the two-sided case).
+At real scale both stores would be Iceberg tables with the same bucket
+transform, making the step-2 join co-located as well as pruned.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import _hashed_tokens, _minhash_bands_spark, _nd_bands_expr
+from ..queries import (
+    _hashed_tokens,
+    _lsh_candidate_pairs,
+    _minhash_bands_spark,
+    _nd_bands_expr,
+)
 
 DOCS_SCHEMA = "doc_id long, text string"
 EMB_SCHEMA = "doc_id long, embedding array<float>"
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.45
+STORE_BUCKETS = 64  # bump at real scale so small batches prune hard
 
 
 # ---------------------------------------------------------------- modalities
@@ -99,6 +127,14 @@ _MODALITIES = {
 
 # ---------------------------------------------------------------- shared core
 
+def _sbucket(n: int):
+    return F.pmod(F.hash(F.col("band"), F.col("bucket")), F.lit(n)).cast("int")
+
+
+def _pbucket(col: str, n: int):
+    return F.pmod(F.hash(F.col(col)), F.lit(n)).cast("int")
+
+
 def _verify(cands: DataFrame, pay_a: DataFrame, pay_b: DataFrame,
             sim_fn, threshold: float) -> DataFrame:
     pa = pay_a.select(F.col("doc_id").alias("doc_a"), F.col("payload").alias("pa"))
@@ -112,6 +148,51 @@ def _verify(cands: DataFrame, pay_a: DataFrame, pay_b: DataFrame,
     )
 
 
+def _cross_candidates(old_bands: DataFrame, new_bands: DataFrame,
+                      max_bucket_size: int | None,
+                      salt: int | None) -> DataFrame:
+    """(doc_a=stored, doc_b=new) candidate pairs from the two-sided band
+    join, with the same two hot-bucket mitigations as the self-join helper
+    (queries._lsh_candidate_pairs): a LOSSY size cap counted over the
+    COMBINED (store ∪ batch) bucket membership, and an EXACT salt that
+    splits one bucket's m_old x m_new work across R tasks (store side gets
+    hash(doc_id) % R, the small batch side is replicated to all R salts)."""
+    if max_bucket_size is not None:
+        small = (
+            old_bands.select("band", "bucket")
+            .unionByName(new_bands.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        old_bands = old_bands.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+        new_bands = new_bands.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+    # round-robin repartition of the store (probe) side: the pruned store
+    # read may be few parquet files; without this the pair emission runs in
+    # as few tasks as there are files (same measured pathology as the batch
+    # helper's probe side)
+    par = old_bands.sparkSession.sparkContext.defaultParallelism * 2
+    if salt and salt > 1:
+        a = old_bands.repartition(par).withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt)).cast("int")
+        )
+        b = new_bands.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        joined = a.alias("a").join(b.alias("b"), ["band", "bucket", "_salt"])
+    else:
+        joined = old_bands.repartition(par).alias("a").join(
+            new_bands.alias("b"), ["band", "bucket"]
+        )
+    return (
+        joined
+        # a re-ingested doc_id (same id arriving again in a later batch)
+        # must not self-pair at similarity 1.0
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     input_path: str,
@@ -119,12 +200,17 @@ def stream_dedup(
     out_dir: str,
     modality: str = "text",
     threshold: float | None = None,
+    max_bucket_size: int | None = None,
+    salt: int | None = None,
+    store_buckets: int = STORE_BUCKETS,
     available_now: bool = True,
     processing_time: str = "600 seconds",
 ):
     """Watch `input_path` for new files of the given modality; emit verified
     near-dup pairs per epoch under `out_dir`/pairs/epoch_id=N. `doc_a` is the
     previously-seen (or lower-id within-batch) item, `doc_b` the new one.
+    `max_bucket_size`/`salt` are the hot-bucket mitigations from the batch
+    pipelines, applied to both the within-batch and store joins.
     Returns the StreamingQuery."""
     schema, prepare, bands_of, sim_fn, default_thr = _MODALITIES[modality]
     threshold = default_thr if threshold is None else threshold
@@ -137,49 +223,96 @@ def stream_dedup(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
         new_bands = bands_of(batch_df).persist()
+        cached = [batch_df, new_bands]
         new_pay = prepare(batch_df)
 
-        # within-batch pairs: bucketed self-join (ordered doc_a < doc_b)
-        within = (
-            new_bands.alias("a")
-            .join(new_bands.alias("b"), ["band", "bucket"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
+        # within-batch pairs: the batch helper verbatim (bucketed self-join,
+        # ordered doc_a < doc_b, probe repartition + cap/salt knobs)
+        within = _lsh_candidate_pairs(new_bands, max_bucket_size, salt)
         pairs = _verify(within, new_pay, new_pay, sim_fn, threshold)
 
         # cross-batch pairs: new items vs the accumulated store. 'Store
-        # absent' is a filesystem probe, NOT a caught read error — a corrupt
-        # store must fail the epoch (and be retried) rather than silently
-        # dropping every cross-batch pair (same contract as sinks.upsert).
-        if os.path.isdir(bands_store):
-            old_bands = spark.read.parquet(bands_store).filter(
-                F.col("epoch_id") < epoch_id  # a retried epoch must not see its own partial state
-            )
-            old_pay = spark.read.parquet(payload_store).filter(
-                F.col("epoch_id") < epoch_id
-            )
-            cross = (
-                old_bands.alias("a")
-                .join(new_bands.alias("b"), ["band", "bucket"])
-                # a re-ingested doc_id (same id arriving again in a later
-                # batch) must not self-pair at similarity 1.0
-                .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-                .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # absent' is a filesystem probe on BOTH stores, NOT a caught read
+        # error — a corrupt store must fail the epoch (and be retried) rather
+        # than silently dropping every cross-batch pair; and a crash between
+        # the two store writes below must leave the retry on the
+        # within-batch-only path, not wedge it on a half-written store pair.
+        if os.path.isdir(bands_store) and os.path.isdir(payload_store):
+            # prune the store read to the sbuckets this batch touches:
+            # <= store_buckets ints collected driver-side, pushed down as a
+            # partition IN-filter => file-level pruning, store-size-independent
+            touched = [
+                r[0]
+                for r in new_bands.select(_sbucket(store_buckets).alias("sb"))
                 .distinct()
+                .collect()
+            ]
+            old_bands = (
+                spark.read.parquet(bands_store)
+                .filter(F.col("sbucket").isin(touched))
+                # a retried epoch must not see its own partial state
+                .filter(F.col("epoch_id") < epoch_id)
+                .select("doc_id", "band", "bucket")
+            )
+            cross = _cross_candidates(
+                old_bands, new_bands, max_bucket_size, salt
+            ).persist()
+            cached.append(cross)
+            # prune the payload read to the candidate pairs' pbuckets; the
+            # keep-latest window is exact within a pbucket because all epochs
+            # of one doc_id hash to the same pbucket
+            cand_pb = [
+                r[0]
+                for r in cross.select(_pbucket("doc_a", store_buckets).alias("pb"))
+                .distinct()
+                .collect()
+            ]
+            latest = Window.partitionBy("doc_id")
+            old_pay = (
+                spark.read.parquet(payload_store)
+                .filter(F.col("pbucket").isin(cand_pb))
+                .filter(F.col("epoch_id") < epoch_id)
+                # keep-latest payload per doc: a re-ingested doc's similarity
+                # must be computed on its newest content
+                .withColumn("_mx", F.max("epoch_id").over(latest))
+                .filter(F.col("epoch_id") == F.col("_mx"))
+                .select("doc_id", "payload")
             )
             pairs = pairs.unionByName(
-                _verify(cross, old_pay.select("doc_id", "payload"), new_pay,
-                        sim_fn, threshold)
+                _verify(cross, old_pay, new_pay, sim_fn, threshold)
             )
 
+        # one row per unordered pair: a doc re-ingested alongside its twin
+        # can surface the same pair from both the within-batch and
+        # cross-batch branches, and stale bands can duplicate candidates.
+        # Deterministic keep: the max (similarity, doc_a, doc_b) struct —
+        # when content changed between epochs, the branch that saw the
+        # higher similarity wins (ties broken lexically, never arbitrarily).
+        pairs = (
+            pairs.groupBy(
+                F.least("doc_a", "doc_b").alias("_lo"),
+                F.greatest("doc_a", "doc_b").alias("_hi"),
+            )
+            .agg(F.max(F.struct("similarity", "doc_a", "doc_b")).alias("_s"))
+            .select(
+                F.col("_s.doc_a").alias("doc_a"),
+                F.col("_s.doc_b").alias("doc_b"),
+                F.col("_s.similarity").alias("similarity"),
+            )
+        )
+
         pairs.write.mode("overwrite").parquet(f"{pairs_out}/epoch_id={epoch_id}")
-        # epoch-keyed state appends: overwrite-own-epoch => idempotent retry
-        new_bands.write.mode("overwrite").parquet(f"{bands_store}/epoch_id={epoch_id}")
-        new_pay.write.mode("overwrite").parquet(f"{payload_store}/epoch_id={epoch_id}")
-        new_bands.unpersist()
-        batch_df.unpersist()
+        # epoch-keyed state appends: overwrite-own-epoch => idempotent retry.
+        # payload BEFORE bands: the cross-batch gate above requires both, so
+        # whichever single store a crash leaves behind, the retry is safe.
+        new_pay.withColumn("pbucket", _pbucket("doc_id", store_buckets)).write.partitionBy(
+            "pbucket"
+        ).mode("overwrite").parquet(f"{payload_store}/epoch_id={epoch_id}")
+        new_bands.withColumn("sbucket", _sbucket(store_buckets)).write.partitionBy(
+            "sbucket"
+        ).mode("overwrite").parquet(f"{bands_store}/epoch_id={epoch_id}")
+        for df in cached:
+            df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -175,7 +175,12 @@ def upsert(
         use_iceberg = iceberg_available(spark)
     if use_iceberg:
         view = f"_incoming_{uuid.uuid4().hex[:8]}"
-        incoming.createOrReplaceTempView(view)
+        # Pre-dedup the source to one row per key (newest wins) with the SAME
+        # keep_latest the parquet fallback uses: MERGE INTO fails at runtime
+        # when multiple source rows match one target row, and 'WHEN NOT
+        # MATCHED THEN INSERT *' would insert every duplicate of a new key —
+        # both divergences from the parquet backend's semantics.
+        sinks.keep_latest(None, incoming, key_cols, ts_col).createOrReplaceTempView(view)
         try:
             spark.sql(_iceberg_merge_sql(path, view, incoming.columns, key_cols, ts_col))
         finally:

@@ -125,3 +125,92 @@ def test_reingested_doc_id_does_not_self_pair(spark, tmp_path):
     src, out, ckpt = _drain(spark, tmp_path, [b1, b2])
     got = spark.read.parquet(os.path.join(out, "pairs")).toPandas()
     assert not (got.doc_a == got.doc_b).any()
+
+
+def test_half_written_store_does_not_wedge(spark, tmp_path):
+    """ADVICE r3: a crash between the two store writes must leave the retry
+    on the within-batch-only path (cross-batch gated on BOTH stores), not
+    permanently wedge the stream on a read of the missing store — and the
+    stream must heal: state written by the degraded epoch serves later
+    epochs' cross-batch joins."""
+    import shutil
+
+    src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1)])
+    shutil.rmtree(os.path.join(out, "bands_store"))  # simulate partial write
+
+    # epoch 1 must complete (no exception), skipping cross-batch pairs
+    spark.createDataFrame(_docs(BATCH2)).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    got = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert frozenset((1, 10)) not in got  # cross-batch skipped, not wedged
+
+    # healed: epoch 1 rewrote both stores, so epoch 2 finds cross pairs
+    spark.createDataFrame(_docs([(20, BATCH2[0][1])])).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    got = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert frozenset((10, 20)) in got
+
+
+def test_reingest_changed_content_uses_latest_payload(spark, tmp_path):
+    """ADVICE r3: a doc_id re-ingested with CHANGED content must be matched
+    on its NEWEST payload — the keep-latest window on the payload store. The
+    old content's stale bands may still generate candidates, but verify
+    computes similarity against the new payload, so pairs that only match the
+    OLD content are filtered out."""
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight"
+    b1 = _docs([(1, text_a), (2, "unrelated filler vocabulary entirely")])
+    b2 = _docs([(1, text_b)])                            # doc 1 changes content
+    b3 = _docs([(30, "one two three four five six seven nine"),   # dup of NEW
+                (31, "alpha beta gamma delta epsilon zeta eta iota")])  # dup of OLD
+    src, out, ckpt = _drain(spark, tmp_path, [b1, b2, b3])
+    got = spark.read.parquet(os.path.join(out, "pairs")).toPandas()
+    pairs = _norm(got)
+    assert frozenset((1, 30)) in pairs      # matches the new content
+    assert frozenset((1, 31)) not in pairs  # old content no longer matchable
+
+    # similarity equals the batch pipeline's on the CURRENT corpus state
+    all_dir = str(tmp_path / "cur")
+    spark.createDataFrame(_docs([(1, text_b), (30, b3.text[0])])).write.parquet(
+        os.path.join(all_dir, "documents.parquet"))
+    truth = q34_neardup_lsh_verified(spark, all_dir).toPandas()
+    tv = {frozenset((a, b)): j for a, b, j in zip(truth.doc_a, truth.doc_b, truth.jaccard)}
+    sim = {frozenset((a, b)): s for a, b, s in zip(got.doc_a, got.doc_b, got.similarity)}
+    assert sim[frozenset((1, 30))] == tv[frozenset((1, 30))]
+
+
+def test_stream_bucket_cap_drops_mega_bucket_only(spark, tmp_path):
+    """VERDICT r3 #2: the cap knob on the STREAMING joins (within-batch and
+    cross-batch). A mega-bucket of identical docs spanning both the store and
+    the batch is dropped; a genuine cross-batch near-dup pair outside it
+    survives."""
+    mega1 = [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)]
+    mega2 = [(50 + i, "alpha beta gamma delta epsilon zeta") for i in range(15)]
+    b1 = _docs(mega1 + [(100, "oak elm birch maple one")])
+    b2 = _docs(mega2 + [(101, "oak elm birch maple two")])
+
+    src = str(tmp_path / "cap_src")
+    out = str(tmp_path / "cap_out")
+    ckpt = str(tmp_path / "cap_ckpt")
+    for pdf in (b1, b2):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        q = dedup_stream.stream_dedup(spark, src, ckpt, out, max_bucket_size=10)
+        q.awaitTermination()
+    pairs = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    mega_ids = {i for i, _ in mega1} | {i for i, _ in mega2}
+    assert frozenset((100, 101)) in pairs             # real pair survives the cap
+    assert not any(p & mega_ids for p in pairs)       # mega-bucket fully dropped
+
+
+def test_store_layout_is_bucket_partitioned(spark, tmp_path):
+    """The state stores must be written bucket-partitioned (epoch_id=N/
+    sbucket=K and epoch_id=N/pbucket=K dirs) — the layout the per-epoch
+    IN-filter pruning depends on."""
+    import glob
+
+    src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1)])
+    assert glob.glob(os.path.join(out, "bands_store", "epoch_id=0", "sbucket=*"))
+    assert glob.glob(os.path.join(out, "payload_store", "epoch_id=0", "pbucket=*"))

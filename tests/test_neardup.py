@@ -190,3 +190,51 @@ def test_ivf_recall_pinned(spark):
     hits = sum(len(got.get(p, set()) & c) for p, c in truth.items())
     recall = hits / sum(len(c) for c in truth.values())
     assert recall >= 0.85, f"recall {recall:.3f}"
+
+
+def test_embedding_bucket_cap_drops_mega_bucket_only(spark, tmp_path):
+    """VERDICT r3 #2: the cap/salt knobs threaded through q42 (the embedding
+    pipeline's analog of test_bucket_size_cap_drops_mega_bucket_only). Corpus:
+    40 IDENTICAL vectors (one mega-bucket in every band — e.g. a batch of
+    all-black spectrogram embeddings) + 3 near-dup pairs along distinct
+    directions. Cap between 2 and 40: mega-bucket pairs vanish, pairs outside
+    it are unchanged, the join shrinks."""
+    import numpy as np
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import q42_embedding_neardup_lsh
+
+    rng = np.random.default_rng(11)
+    dim = 64  # must match the LSH planes' dimensionality
+    same = [float(x) for x in rng.normal(size=dim)]
+    rows = [{"vec_id": i, "embedding": same} for i in range(40)]
+    for j in range(3):
+        base = rng.normal(size=dim)
+        for k in (0, 1):
+            v = base + 0.05 * rng.normal(size=dim)
+            rows.append({"vec_id": 100 + 2 * j + k,
+                         "embedding": [float(x) for x in v]})
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(pd.DataFrame(rows), "vec_id long, embedding array<float>") \
+        .write.parquet(os.path.join(path, "embeddings.parquet"))
+
+    def pairs(pdf):
+        return set(zip(pdf.vec_a, pdf.vec_b))
+
+    un = pairs(q42_embedding_neardup_lsh(spark, path).toPandas())
+    cp = pairs(q42_embedding_neardup_lsh(spark, path, max_bucket_size=10).toPandas())
+    mega = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert mega <= un                 # uncapped: the straggler bucket emits all
+    assert not (cp & mega)            # capped: mega-bucket gone
+    outside = un - mega
+    assert outside and outside <= cp  # true pairs outside the cap unchanged
+    assert len(cp) < len(un) / 10
+
+
+def test_embedding_salted_equals_unsalted(spark):
+    """q42's salt knob is EXACT: identical verified pair set at sf0.001."""
+    from real_time_anomaly_detection_spark.queries import q42_embedding_neardup_lsh
+
+    base = q42_embedding_neardup_lsh(spark, SF_DIR).toPandas()
+    salted = q42_embedding_neardup_lsh(spark, SF_DIR, salt=4).toPandas()
+    assert set(zip(base.vec_a, base.vec_b)) == set(zip(salted.vec_a, salted.vec_b))
