@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Streaming-dedup store-growth evidence (VERDICT r3 next #3).
+
+The r3 flat-epoch table fed the real sf0.1 corpus (degenerate: ~84% of LSH
+candidates verify), so per-epoch wall was dominated by candidate volume and
+the store was too small (4k docs) to expose a store-size dependence. This
+harness isolates exactly that variable:
+
+  - every epoch ingests `--docs-per-epoch` documents with DISJOINT
+    vocabularies (token soup unique to each doc) => near-zero cross-doc LSH
+    collisions, PLUS a fixed quota of `--dups-per-epoch` exact re-uploads of
+    epoch-0 documents => the per-epoch candidate volume is CONSTANT by
+    construction while the accumulated store grows linearly.
+  - if per-epoch wall is flat across the run, epoch cost tracks candidates;
+    if it grows with epoch number, the store join is scanning state it
+    should have pruned (the pre-bucketing pathology).
+
+The store reaches epochs*docs_per_epoch documents — with the defaults, 40k,
+10x the r3 table's final store.
+
+Protocol per epoch: write the epoch's input file, drain one availableNow
+trigger, clear cache + force driver GC, record wall. Single Spark session
+(a long-running collector), local[--cores].
+
+Output: a markdown table on stdout (append to BENCH/BASELINE.md) plus one
+JSON line for machine consumption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from real_time_anomaly_detection_spark.session import get_spark  # noqa: E402
+from real_time_anomaly_detection_spark.streaming.dedup_stream import (  # noqa: E402
+    stream_dedup,
+)
+
+
+def synth_epoch(epoch: int, n_docs: int, n_dups: int, tokens_per_doc: int = 120):
+    """Deterministic epoch batch: doc texts over per-doc-disjoint vocab, plus
+    `n_dups` exact re-uploads of epoch-0 docs under fresh doc_ids."""
+    rows = []
+    base = epoch * 1_000_000
+    for i in range(n_docs - n_dups):
+        doc = base + i
+        rows.append(
+            (doc, " ".join(f"e{epoch}d{i}w{j % 57}x{j}" for j in range(tokens_per_doc)))
+        )
+    for i in range(n_dups):
+        # re-upload epoch-0 doc i under a fresh id: one guaranteed store hit
+        rows.append(
+            (base + n_docs + i,
+             " ".join(f"e0d{i}w{j % 57}x{j}" for j in range(tokens_per_doc)))
+        )
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--docs-per-epoch", type=int, default=4000)
+    ap.add_argument("--dups-per-epoch", type=int, default=20)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--keep", action="store_true", help="keep work dir")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="stream_store_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+
+    spark = get_spark(
+        "stream-store-bench", cores=args.cores, shuffle_partitions=max(args.cores, 8)
+    )
+    walls, pair_counts = [], []
+    total_pairs = 0
+    try:
+        for epoch in range(args.epochs):
+            rows = synth_epoch(epoch, args.docs_per_epoch, args.dups_per_epoch)
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            q = stream_dedup(spark, in_dir, ckpt, out_dir)
+            q.awaitTermination()
+            walls.append(round(time.perf_counter() - t0, 2))
+            n_pairs = spark.read.parquet(os.path.join(out_dir, "pairs")).count()
+            pair_counts.append(n_pairs - total_pairs)
+            total_pairs = n_pairs
+            store = epoch * args.docs_per_epoch
+            print(
+                f"| {epoch} | {args.docs_per_epoch} | {store} | "
+                f"{pair_counts[-1]} | {walls[-1]} |",
+                flush=True,
+            )
+    finally:
+        spark.stop()
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stream_dedup_epoch_walls_sec",
+                "walls": walls,
+                "pairs_per_epoch": pair_counts,
+                "docs_per_epoch": args.docs_per_epoch,
+                "dups_per_epoch": args.dups_per_epoch,
+                "final_store_docs": args.epochs * args.docs_per_epoch,
+                "cores": args.cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

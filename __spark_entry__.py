@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from real_time_anomaly_detection_spark.operators import stats  # noqa: E402
-from real_time_anomaly_detection_spark.queries import ORACLES, QUERIES  # noqa: E402
+from real_time_anomaly_detection_spark.queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    _q46_sql,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,4 +47,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # q46's oracle is data-dependent (trained k-means centroids embedded as
+    # literals), so it is generated at call time from the correctness-run
+    # corpus — the same deterministic training the Spark query performs.
+    try:
+        out["q46_ann_ivf_trained"] = _q46_sql(
+            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        )
+    except Exception:
+        pass  # corpus unavailable: the driver records a rows-only check
+    return out

@@ -52,6 +52,7 @@ def pcm_check(
     clips: DataFrame,
     ref_pcm_fn: Callable[[str], np.ndarray],
     snr_threshold: float = SNR_THRESHOLD_DB,
+    with_digest: bool = False,
 ) -> DataFrame:
     """Per-clip PCM rows: decode + SNR vs reference PCM. No join anywhere —
     scan-local map over Arrow batches.
@@ -59,10 +60,18 @@ def pcm_check(
     `ref_pcm_fn(clip_id) -> np.ndarray` supplies the reference decoded PCM
     (in production a lookup into a reference store; in tests the deterministic
     synthesizer oracle). It is shipped to executors once via closure capture.
-    """
+
+    `with_digest=True` additionally emits `content_hash` =
+    sha256(bytes) hex — byte-identical to Catalyst's `sha2(bytes, 256)` — so
+    the content_dedup family can ride THIS scan instead of paying a second
+    pass over the multi-TB payload column when both checks are enabled
+    (engine.validate wires this automatically)."""
     projected = clips.select("part_id", "clip_id", "bytes", "codec")
+    schema = _CHECK_SCHEMA + (", content_hash string" if with_digest else "")
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             n = len(pdf)
             snr = np.empty(n, dtype=np.float64)
@@ -80,19 +89,23 @@ def pcm_check(
                 except Exception as exc:  # noqa: BLE001 — record, don't abort the task
                     snr[k] = float("-inf")
                     errs[k] = f"{type(exc).__name__}: {exc}"[:200]
-            yield pd.DataFrame(
-                {
-                    "part_id": pdf["part_id"],
-                    "clip_id": pdf["clip_id"],
-                    "codec": pdf["codec"],
-                    "snr_db": snr,
-                    "pcm_ok": snr >= snr_threshold,
-                    "n_samples": n_samples,
-                    "decode_error": errs,
-                }
-            )
+            out = {
+                "part_id": pdf["part_id"],
+                "clip_id": pdf["clip_id"],
+                "codec": pdf["codec"],
+                "snr_db": snr,
+                "pcm_ok": snr >= snr_threshold,
+                "n_samples": n_samples,
+                "decode_error": errs,
+            }
+            if with_digest:
+                out["content_hash"] = [
+                    hashlib.sha256(p).hexdigest() if p is not None else None
+                    for p in payloads
+                ]
+            yield pd.DataFrame(out)
 
-    return projected.mapInPandas(check_batches, schema=_CHECK_SCHEMA)
+    return projected.mapInPandas(check_batches, schema=schema)
 
 
 def transcript_check(

@@ -35,22 +35,34 @@ def content_fingerprints(clips: DataFrame, part_col: str = "part_id") -> DataFra
     )
 
 
-def duplicate_content(clips: DataFrame, part_col: str = "part_id") -> DataFrame:
+def duplicate_content(clips: DataFrame, part_col: str = "part_id",
+                      fp: DataFrame | None = None) -> DataFrame:
     """Rows belonging to a content group with >1 member ACROSS the whole
     table (content dups typically span partitions — that is the case
     partition-local checks miss): (part_id, clip_id, content_hash, n_copies,
-    keeper)."""
-    fp = content_fingerprints(clips, part_col)
+    keeper).
+
+    `fp`: optionally pass precomputed fingerprints — e.g. the digest column
+    the PCM pass emits (audio_checks.pcm_check(with_digest=True)) — so this
+    family costs zero additional payload scans."""
+    if fp is None:
+        fp = content_fingerprints(clips, part_col)
     groups = fp.groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("clip_id").alias("keeper")
     )
     return fp.join(groups.filter(F.col("n_copies") > 1), "content_hash")
 
 
-def content_dedup_violations(clips: DataFrame, part_col: str = "part_id") -> DataFrame:
+def content_dedup_violations(clips: DataFrame, part_col: str = "part_id",
+                             dups: DataFrame | None = None) -> DataFrame:
     """One violation row per NON-KEEPER member of each duplicate-content
-    group (the keeper is the row a dedup sink would retain)."""
-    dups = duplicate_content(clips, part_col)
+    group (the keeper is the row a dedup sink would retain).
+    `dups`: optionally pass a precomputed (ideally persisted)
+    duplicate_content() result so verdicts and violations share ONE
+    digest-agg pass — and, when it came from the PCM scan, ONE payload scan
+    (engine.validate does both)."""
+    if dups is None:
+        dups = duplicate_content(clips, part_col)
     return dups.filter(F.col("clip_id") != F.col("keeper")).select(
         "part_id",
         F.lit("content_dedup").alias("constraint"),
@@ -64,9 +76,14 @@ def content_dedup_violations(clips: DataFrame, part_col: str = "part_id") -> Dat
     )
 
 
-def content_dedup_verdicts(clips: DataFrame, part_col: str = "part_id") -> DataFrame:
+def content_dedup_verdicts(clips: DataFrame, part_col: str = "part_id",
+                           dups: DataFrame | None = None) -> DataFrame:
     """Per-partition pass/fail: fails iff the partition holds any non-keeper
-    member of a (table-wide) duplicate-content group."""
+    member of a (table-wide) duplicate-content group.
+    `dups`: see content_dedup_violations. The per-partition row counts come
+    from a metadata-column scan (column pruning keeps `bytes` out of it)."""
+    if dups is None:
+        dups = duplicate_content(clips, part_col)
     per_part = (
         clips.select(part_col)
         .groupBy(part_col)
@@ -74,7 +91,7 @@ def content_dedup_verdicts(clips: DataFrame, part_col: str = "part_id") -> DataF
         .withColumnRenamed(part_col, "part_id")
     )
     dup_stats = (
-        duplicate_content(clips, part_col)
+        dups
         .filter(F.col("clip_id") != F.col("keeper"))
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("n_dup_rows"))

@@ -44,9 +44,15 @@ def missing_refs(clips: DataFrame, refs: DataFrame, broadcast: bool | None = Non
 
 
 def referential_violations(
-    clips: DataFrame, refs: DataFrame, broadcast_refs: bool | None = None
+    clips: DataFrame, refs: DataFrame, broadcast_refs: bool | None = None,
+    miss_pre: DataFrame | None = None,
 ) -> DataFrame:
-    miss = missing_refs(clips, refs, broadcast=broadcast_refs).select(
+    """`miss_pre`: optionally pass a precomputed (ideally persisted)
+    missing_refs() result so verdicts and violations share ONE anti-join
+    pass instead of re-running it (engine.validate does)."""
+    if miss_pre is None:
+        miss_pre = missing_refs(clips, refs, broadcast=broadcast_refs)
+    miss = miss_pre.select(
         F.col("part_id"),
         F.lit("referential").alias("constraint"),
         F.col("clip_id"),
@@ -68,11 +74,15 @@ def referential_violations(
 
 
 def referential_verdicts(
-    clips: DataFrame, refs: DataFrame, broadcast_refs: bool | None = None
+    clips: DataFrame, refs: DataFrame, broadcast_refs: bool | None = None,
+    miss_pre: DataFrame | None = None,
 ) -> DataFrame:
+    """`miss_pre`: see referential_violations."""
+    if miss_pre is None:
+        miss_pre = missing_refs(clips, refs, broadcast=broadcast_refs)
     per_part = clips.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
     miss = (
-        missing_refs(clips, refs, broadcast=broadcast_refs)
+        miss_pre
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("n_missing"))
     )

@@ -47,9 +47,14 @@ def duplicate_keys(
 
 
 def uniqueness_violations(
-    clips: DataFrame, key: str = "clip_id", part_col: str = "part_id", salt_buckets: int = 16
+    clips: DataFrame, key: str = "clip_id", part_col: str = "part_id", salt_buckets: int = 16,
+    dups: DataFrame | None = None,
 ) -> DataFrame:
-    dups = duplicate_keys(clips, key, part_col, salt_buckets)
+    """`dups`: optionally pass a precomputed (ideally persisted)
+    duplicate_keys() result so verdicts and violations share ONE salted agg
+    pass instead of re-running it (engine.validate does)."""
+    if dups is None:
+        dups = duplicate_keys(clips, key, part_col, salt_buckets)
     return dups.select(
         F.col(part_col).alias("part_id"),
         F.lit("uniqueness").alias("constraint"),
@@ -64,10 +69,13 @@ def uniqueness_violations(
 
 
 def uniqueness_verdicts(
-    clips: DataFrame, key: str = "clip_id", part_col: str = "part_id", salt_buckets: int = 16
+    clips: DataFrame, key: str = "clip_id", part_col: str = "part_id", salt_buckets: int = 16,
+    dups: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-partition pass/fail with duplicate-key and extra-copy counts."""
-    dups = duplicate_keys(clips, key, part_col, salt_buckets)
+    """Per-partition pass/fail with duplicate-key and extra-copy counts.
+    `dups`: see uniqueness_violations."""
+    if dups is None:
+        dups = duplicate_keys(clips, key, part_col, salt_buckets)
     per_part = clips.select(part_col).groupBy(part_col).agg(F.count(F.lit(1)).alias("n_rows"))
     dup_stats = dups.groupBy(part_col).agg(
         F.count(F.lit(1)).alias("n_dup_keys"),

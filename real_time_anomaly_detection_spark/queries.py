@@ -1381,14 +1381,27 @@ def q44_ann_ivf_topk(spark, sf_dir):
     )
     import math as _math
 
-    def _cent_lit(r):
+    cents = []
+    for r in cent_rows:
         nrm = _math.sqrt(sum(v * v for v in r.emb)) or 1.0
-        return F.struct(
-            F.lit(int(r.vec_id)).alias("cell"),
-            F.array(*[F.lit(v / nrm) for v in r.emb]).alias("c_emb"),
-        )
+        cents.append((int(r.vec_id), [v / nrm for v in r.emb]))
+    return _ivf_topk_from_cents(e, cents)
 
-    cents_lit = F.array(*[_cent_lit(r) for r in cent_rows])
+
+def _ivf_topk_from_cents(e, cents):
+    """Shared IVF probe plan (q44 fixed / q46 trained coarse quantizer):
+    `cents` is a driver-side list of (cell_id, unit-normalized float64
+    vector). Embedded as literals so cell assignment is map-side (see q44
+    docstring for the 10^9-vector rationale)."""
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("c_emb"),
+            )
+            for cell, vec in cents
+        ]
+    )
 
     def _cos_to(c_struct):
         # centroid pre-normalized, so cosine = dot(emb, c) / |emb|
@@ -1456,6 +1469,114 @@ ranked AS (
            ORDER BY list_dot_product(e.emb, cents.c_emb) /
                     (sqrt(list_dot_product(e.emb, e.emb)) *
                      sqrt(list_dot_product(cents.c_emb, cents.c_emb))) DESC,
+                    cents.cell ASC) AS rk
+  FROM e, cents),
+assigned AS (SELECT vec_id AS cand_id, emb AS c_emb2, cell FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS probe_id, emb AS p_emb, cell
+           FROM ranked WHERE vec_id < 10 AND rk <= {_IVF_NPROBE}),
+pairs AS (
+  SELECT probe_id, cand_id,
+         round(list_dot_product(p_emb, c_emb2) /
+               (sqrt(list_dot_product(p_emb, p_emb)) *
+                sqrt(list_dot_product(c_emb2, c_emb2))), 6) AS cosine
+  FROM probes JOIN assigned USING (cell)
+  WHERE probe_id != cand_id)
+SELECT probe_id, cand_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM pairs) WHERE rank <= 5
+"""
+
+
+# Trained coarse quantizer (VERDICT r3 #5): spherical Lloyd's k-means over a
+# bounded deterministic sample, replacing q44's first-16-vectors quantizer.
+# Fixed iteration count (no convergence-dependent stop) keeps it bit-stable.
+_IVF_TRAIN_ITERS = 12
+_IVF_TRAIN_SAMPLE = 8192
+_IVF_CENT_CACHE: dict = {}
+
+
+def _ivf_trained_centroids(sf_dir: str) -> tuple:
+    """k=_IVF_CELLS unit centroids from seeded spherical k-means, float64.
+
+    Reads the embeddings parquet directly with pyarrow on the driver — the
+    training set is a strided sample of <= _IVF_TRAIN_SAMPLE rows, so at 10^9
+    vectors this is the bounded `df.sample().collect()` step (metadata-sized
+    transfer either way; the strided read stands in for `TABLESAMPLE`).
+    Fully deterministic: rows sorted by vec_id, stride = n // cap, init =
+    evenly-strided sample rows, argmax assignment (ties -> lowest cell),
+    empty cells keep their previous centroid. The SAME function feeds both
+    the Spark literals (q46) and the DuckDB oracle literals (_q46_sql), so
+    both engines rank against bit-identical centroids."""
+    cached = _IVF_CENT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    x = x[np.argsort(vid, kind="stable")]
+    stride = max(1, len(x) // _IVF_TRAIN_SAMPLE)
+    s = x[::stride][:_IVF_TRAIN_SAMPLE]
+
+    def _unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    s = _unit(s)
+    c = _unit(s[np.linspace(0, len(s) - 1, _IVF_CELLS).astype(int)].copy())
+    for _ in range(_IVF_TRAIN_ITERS):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(_IVF_CELLS):
+            members = s[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _unit(c)
+    out = tuple(tuple(float(v) for v in row) for row in c)
+    _IVF_CENT_CACHE[sf_dir] = out
+    return out
+
+
+def q46_ann_ivf_trained(spark, sf_dir):
+    """q44 with a TRAINED coarse quantizer: same literal-centroid map-side
+    assignment and broadcast probe join, but the _IVF_CELLS centroids come
+    from seeded k-means over a bounded sample (see _ivf_trained_centroids)
+    instead of the first 16 vectors. On held-out probes (vec_id not in the
+    centroid set) the trained cells beat the fixed ones at equal nprobe —
+    pytest-pinned in tests/test_neardup.py; the q44/q27 probe set (vec_id <
+    10) is NOT a fair comparison because those probes ARE q44's centroids
+    (each probe's own cell contains its neighborhood by construction).
+    Recasts the reference's fit-then-apply detector pattern
+    (anomaly_detector.py:282-340's train/apply split) onto ANN indexing."""
+    cents = _ivf_trained_centroids(sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    return _ivf_topk_from_cents(e, list(enumerate(cents)))
+
+
+def _q46_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle for q46, generated at call time: the trained centroids
+    are data-dependent, so the SQL embeds the same unit-centroid literals the
+    Spark plan uses (bit-identical floats via repr round-trip). Cell ranking
+    uses the plain dot product — the |emb| factor is common to all cells on
+    both engines, exactly as the Spark plan drops it."""
+    cents = _ivf_trained_centroids(sf_dir)
+    rows = ",\n".join(
+        f"({cell}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[])"
+        for cell, vec in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents(cell, c_emb) AS (VALUES {rows}),
+ranked AS (
+  SELECT e.vec_id, e.emb, cents.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.emb, cents.c_emb) DESC,
                     cents.cell ASC) AS rk
   FROM e, cents),
 assigned AS (SELECT vec_id AS cand_id, emb AS c_emb2, cell FROM ranked WHERE rk = 1),
@@ -1805,6 +1926,14 @@ _WN_K = 16
 _WN_W = 8
 _WN_MAX_DF = 50
 _WN_MIN_SHARED = 5
+# Long-doc skew guard: the window min partitions by (doc_id, chunk) instead
+# of doc_id alone, so one huge document becomes ceil(L / _WN_CHUNK) tasks
+# instead of one. Chunks overlap by w-1 positions (each chunk's first w-1
+# gram rows are replicated into the previous chunk as lookahead), which
+# keeps the w-row forward min EXACT at chunk boundaries — the result is
+# bit-identical to the unchunked window (pytest-pinned). Replication cost:
+# (w-1)/_WN_CHUNK of the gram rows (~0.2%).
+_WN_CHUNK = 4096
 
 
 def q43_winnowing_neardup(spark, sf_dir):
@@ -1828,7 +1957,15 @@ def q43_winnowing_neardup(spark, sf_dir):
     md5 transform per window (O(L^2) md5s; measured 490s on 500 docs), while
     the row formulation hashes each gram exactly once."""
     d = load(spark, sf_dir, "documents")
-    txt = F.lower(F.col("text"))
+    # gram extraction works on the BINARY encoding, not the string: string
+    # substr at position i is an O(i) scan (UTF8String walks UTF-8 chars from
+    # the start), which makes per-position extraction O(L^2) per document —
+    # a planted 0.5 MB doc measured ~20 min. Byte-offset substr on binary is
+    # an O(k) array copy, and md5(binary) hashes exactly the bytes
+    # md5(string) would. Byte grams == char grams on this all-ASCII corpus
+    # (the char-based DuckDB oracle assumes that); on non-ASCII corpora byte
+    # k-grams are still consistent fingerprints, just not char-aligned.
+    txt = F.encode(F.lower(F.col("text")), "utf-8")
     n_grams = F.greatest(F.length(txt) - F.lit(_WN_K - 1), F.lit(1))
     g = d.select("doc_id", txt.alias("_t"), n_grams.alias("n")).select(
         "doc_id",
@@ -1842,9 +1979,25 @@ def q43_winnowing_neardup(spark, sf_dir):
         F.conv(F.substring(F.md5(F.col("_t").substr(F.col("i"), F.lit(_WN_K))), 1, 15),
                16, 10).cast("long").alias("h"),
     )
-    wmin = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WN_W - 1)
+    # chunked window (see _WN_CHUNK): row i owns chunk (i-1) div C; the first
+    # w-1 rows of each chunk are ALSO replicated into the previous chunk so
+    # its trailing windows see their full w-row lookahead. The min is then
+    # computed per (doc_id, chunk) — identical values, 1/C the task skew.
+    own = F.floor((F.col("i") - F.lit(1)) / F.lit(_WN_CHUNK)).cast("int")
+    g = g.withColumn("_own", own).withColumn(
+        "chunk",
+        F.explode(
+            F.when(
+                (F.col("_own") > 0)
+                & ((F.col("i") - F.lit(1)) % F.lit(_WN_CHUNK) < F.lit(_WN_W - 1)),
+                F.array(F.col("_own"), F.col("_own") - F.lit(1)),
+            ).otherwise(F.array(F.col("_own")))
+        ),
+    )
+    wmin = W.partitionBy("doc_id", "chunk").orderBy("i").rowsBetween(0, _WN_W - 1)
     x = (
         g.withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("chunk") == F.col("_own"))  # drop the lookahead replicas
         .filter(F.col("i") <= F.greatest(F.col("n") - F.lit(_WN_W - 1), F.lit(1)))
         .select("doc_id", "fp")
         .distinct()
@@ -2014,6 +2167,7 @@ QUERIES = {
     "q43_winnowing_neardup": q43_winnowing_neardup,
     "q44_ann_ivf_topk": q44_ann_ivf_topk,
     "q45_hash_split": q45_hash_split,
+    "q46_ann_ivf_trained": q46_ann_ivf_trained,
 }
 
 ORACLES = {

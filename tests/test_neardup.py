@@ -238,3 +238,94 @@ def test_embedding_salted_equals_unsalted(spark):
     base = q42_embedding_neardup_lsh(spark, SF_DIR).toPandas()
     salted = q42_embedding_neardup_lsh(spark, SF_DIR, salt=4).toPandas()
     assert set(zip(base.vec_a, base.vec_b)) == set(zip(salted.vec_a, salted.vec_b))
+
+
+def test_winnowing_chunked_window_equals_unchunked(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #4 (long-doc skew guard): q43's window min partitions by
+    (doc_id, chunk) with a w-1 lookahead overlap, so one huge doc is ~L/4096
+    tasks instead of one. Pinned here: (a) the chunked result is IDENTICAL
+    (pairs AND n_shared counts) to the single-partition-per-doc formulation
+    on a corpus whose big doc spans >100 chunks; (b) the pair containing the
+    big doc is found; (c) the window key really carries the chunk column."""
+    import pandas as pd
+
+    import real_time_anomaly_detection_spark.queries as Q
+
+    big = " ".join(f"w{i % 997} t{i % 463} q{i % 211}" for i in range(40000))
+    docs = [(1, big),
+            (2, big[: len(big) // 2] + " entirely different tail text here"),
+            (3, "unrelated small document with its own words only")]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"])) \
+        .write.parquet(os.path.join(path, "documents.parquet"))
+
+    n_grams = len(big) - Q._WN_K + 1
+    assert n_grams // Q._WN_CHUNK > 100  # the big doc genuinely spans chunks
+
+    plan = Q.q43_winnowing_neardup(spark, path)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "chunk" in plan  # window partition key includes the chunk column
+
+    def res(pdf):
+        return {(a, b): n for a, b, n in zip(pdf.doc_a, pdf.doc_b, pdf.n_shared)}
+
+    chunked = res(Q.q43_winnowing_neardup(spark, path).toPandas())
+    monkeypatch.setattr(Q, "_WN_CHUNK", 1 << 40)  # one chunk == old behavior
+    plain = res(Q.q43_winnowing_neardup(spark, path).toPandas())
+    assert chunked == plain
+    assert (1, 2) in chunked  # the big doc's near-dup (its own prefix) found
+
+
+def test_ivf_trained_centroids_beat_fixed_on_held_out_probes():
+    """VERDICT r3 #5: q46's trained quantizer vs q44's fixed first-16 one,
+    compared at EQUAL nprobe on held-out probes (vec_id 100-199) against
+    brute-force cosine truth. Held-out matters: q44/q27's probe set
+    (vec_id < 10) IS q44's centroid set, so each of those probes sits at the
+    center of its own cell and fixed recall is an artifact (0.92+ there vs
+    0.28 held-out). The recall is computed on the EXACT unit-centroid
+    float64 literals both Spark plans embed (same normalization, same argmax
+    tie-break), so this measures the shipped quantizers, not a re-derivation.
+    Deterministic corpus + seeded deterministic training => stable pins:
+    trained 0.382 vs fixed 0.280 at sf0.001 (0.41/0.284 at sf0.01,
+    0.366/0.322 at sf0.1)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from real_time_anomaly_detection_spark.queries import _ivf_trained_centroids
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    x = x[np.argsort(vid, kind="stable")]
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    xn = unit(x)
+    full = xn @ xn.T
+    trained = np.array(_ivf_trained_centroids(SF_DIR))
+    fixed = unit(x[:16])  # q44's quantizer, q44's normalization
+
+    def recall(cents, probes, nprobe=2, k=5):
+        sims = xn @ cents.T
+        order = np.argsort(-sims, axis=1)
+        assign, probe_cells = order[:, 0], order[:, :nprobe]
+        rec = tot = 0
+        for p in probes:
+            s = full[p].copy()
+            s[p] = -9.0
+            truth = set(np.argsort(-s)[:k])
+            cand = np.where(np.isin(assign, probe_cells[p]))[0]
+            cand = cand[cand != p]
+            got = set(cand[np.argsort(-full[p][cand])[:k]])
+            rec += len(truth & got)
+            tot += k
+        return rec / tot
+
+    held_out = range(100, 200)
+    r_fixed = recall(fixed, held_out)
+    r_trained = recall(trained, held_out)
+    assert r_trained > r_fixed, f"trained {r_trained:.3f} <= fixed {r_fixed:.3f}"
+    assert r_trained >= 0.35, f"trained recall {r_trained:.3f}"

@@ -9,9 +9,20 @@ import duckdb
 import pandas as pd
 import pytest
 
-from real_time_anomaly_detection_spark.queries import ORACLES, QUERIES, TABLES
+from real_time_anomaly_detection_spark.queries import (
+    ORACLES as _STATIC_ORACLES,
+    QUERIES,
+    TABLES,
+    _q46_sql,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+# q46's oracle embeds trained-centroid literals, so it is generated from the
+# corpus under test — exactly what __spark_entry__.oracle_sql() does for the
+# driver's sf0.01 run.
+ORACLES = dict(_STATIC_ORACLES)
+ORACLES["q46_ann_ivf_trained"] = _q46_sql(SF_DIR)
 
 
 @pytest.fixture(scope="module")

@@ -327,3 +327,64 @@ def test_validate_isolated_survives_runtime_family_failure(spark, clips):
     with _pt.raises(Exception):
         v2.collect()
     engine.release("iso2")
+
+
+def test_pcm_digest_matches_catalyst_sha2(spark, clips):
+    """The fused digest (hashlib inside the PCM UDF) must be byte-identical
+    to Catalyst's sha2(bytes, 256) — the invariant that lets content_dedup
+    ride the PCM scan without changing its results."""
+    from real_time_anomaly_detection_spark.operators import audio_checks
+
+    got = (
+        audio_checks.pcm_check(
+            clips, lambda cid: synth.reference_pcm(CFG, cid), with_digest=True
+        )
+        .select("clip_id", "content_hash")
+        .toPandas()
+        .set_index("clip_id")["content_hash"]
+    )
+    want = (
+        clips.select("clip_id", F.sha2(F.col("bytes"), 256).alias("h"))
+        .toPandas()
+        .set_index("clip_id")["h"]
+    )
+    assert got.sort_index().equals(want.sort_index())
+
+
+def test_content_dedup_rides_pcm_scan(spark, refs):
+    """VERDICT r3 #6: with BOTH audio and content_dedup enabled, the digest
+    comes out of the PCM pass's Arrow batches — no Catalyst sha2(bytes)
+    projection (i.e. no second payload scan) anywhere in either output plan —
+    and the planted cross-partition content dup is still caught."""
+    cfg2 = synth.clean_config(n_clips=60, clips_per_partition=20)
+    pdf = synth.clips_pdf(cfg2)
+    dup = pdf.iloc[[0]].copy()
+    dup["clip_id"] = "zz-reupload"
+    dup["part_id"] = 2
+    clips2 = spark.createDataFrame(pd.concat([pdf, dup], ignore_index=True))
+
+    vcfg = engine.ValidationConfig(checks=("content_dedup", "audio"))
+    verdicts, violations = engine.validate(
+        spark, clips2,
+        refs=synth.transcripts_ref_df(spark, cfg2),
+        ref_pcm_fn=lambda cid: synth.reference_pcm(cfg2, cid),
+        cfg=vcfg, run_id="fuse1",
+    )
+    plans = (
+        verdicts._jdf.queryExecution().toString()
+        + violations._jdf.queryExecution().toString()
+    )
+    assert "sha2" not in plans, "content_dedup paid its own digest scan"
+    viol = violations.toPandas()
+    cd = viol[viol.constraint == "content_dedup"]
+    assert list(cd.clip_id) == ["zz-reupload"]
+    engine.release("fuse1")
+
+    # audio OFF: content_dedup falls back to its own map-side sha2 scan and
+    # finds the same dup
+    vcfg_solo = engine.ValidationConfig(checks=("content_dedup",))
+    v2, viol2 = engine.validate(spark, clips2, cfg=vcfg_solo, run_id="fuse2")
+    assert "sha2" in viol2._jdf.queryExecution().toString()
+    cd2 = viol2.toPandas()
+    assert list(cd2[cd2.constraint == "content_dedup"].clip_id) == ["zz-reupload"]
+    engine.release("fuse2")
