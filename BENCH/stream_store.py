@@ -56,10 +56,13 @@ def synth_epoch(epoch: int, n_docs: int, n_dups: int, tokens_per_doc: int = 120)
             (doc, " ".join(f"e{epoch}d{i}w{j % 57}x{j}" for j in range(tokens_per_doc)))
         )
     for i in range(n_dups):
-        # re-upload epoch-0 doc i under a fresh id: one guaranteed store hit
+        # re-upload a DISJOINT slice of epoch-0 docs each epoch (epoch e
+        # re-uploads docs e*n_dups..): every re-upload pairs with exactly one
+        # stored doc, so per-epoch candidate volume is constant, not growing
+        src = epoch * n_dups + i
         rows.append(
             (base + n_docs + i,
-             " ".join(f"e0d{i}w{j % 57}x{j}" for j in range(tokens_per_doc)))
+             " ".join(f"e0d{src}w{j % 57}x{j}" for j in range(tokens_per_doc)))
         )
     return rows
 

@@ -214,3 +214,32 @@ def test_store_layout_is_bucket_partitioned(spark, tmp_path):
     src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1)])
     assert glob.glob(os.path.join(out, "bands_store", "epoch_id=0", "sbucket=*"))
     assert glob.glob(os.path.join(out, "payload_store", "epoch_id=0", "pbucket=*"))
+
+
+def test_checkpoint_replay_of_partial_epoch_is_exact(spark, tmp_path):
+    """VERDICT r3 #8 (stretch): kill/restart consistency via checkpoint
+    replay. Simulate a crash DURING epoch 1's state writes: pairs/epoch_id=1
+    and payload_store/epoch_id=1 are on disk, bands_store/epoch_id=1 is not,
+    and the checkpoint commit marker for batch 1 was never written. On
+    restart, Structured Streaming replays batch 1 from its recorded offsets
+    under the SAME epoch_id; overwrite-own-epoch state writes plus the
+    epoch_id < current filter on store reads must converge to exactly the
+    crash-free result — no pair lost, none duplicated, stores healed."""
+    import shutil
+
+    src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1), _docs(BATCH2)])
+    before = spark.read.parquet(os.path.join(out, "pairs")).toPandas()
+    assert len(before) > 0
+
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")  # local-FS checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(os.path.join(out, "bands_store", "epoch_id=1"))
+
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    after = spark.read.parquet(os.path.join(out, "pairs")).toPandas()
+    assert _norm(after) == _norm(before)
+    assert len(after) == len(before)  # replay did not duplicate pair rows
+    assert os.path.isdir(os.path.join(out, "bands_store", "epoch_id=1"))
