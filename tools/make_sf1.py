@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Deterministic 10x scale-up of the sf0.1 test tables ("sf1") for the
+large-scale correctness + bench pass (VERDICT r3 next #7).
+
+No external data: relational tables are the driver's own sf0.1 parquet
+replicated 10x with key-shifting that preserves referential structure
+(replica r shifts every synthetic key by r * 10^7, foreign keys shifted in
+lockstep; dimension tables region/nation are shared). documents/embeddings
+are NOT replicated — a 10x copy of the degenerate sf0.1 corpus (~73% of all
+pairs are true near-dups) would push LSH candidate volume to ~10^9 rows,
+which no oracle can verify; instead they are synthesized at 10x size with
+CONTROLLED near-dup density (disjoint per-doc vocabularies + planted dup
+clusters / perturbed vector pairs), so every near-dup query stays
+DuckDB-verifiable at 50k docs / 20k vectors.
+
+Usage:  python tools/make_sf1.py [--out /root/repo/.cache/sf1]
+Then:   SPARK_GRAFT_SF_DIR_TEST=/root/repo/.cache/sf1 \
+            pytest tests/test_oracle_parity.py -k "not q26 and not q39"
+(q26/q39 are the documented O(n^2) oracle twins — 1.25G pairs at 50k docs.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+SHIFT = 10_000_000
+
+
+def _replicate(name: str, out_dir: str, key_cols: dict[str, int]) -> None:
+    """Concat REPLICAS copies, adding r*SHIFT*mult to each key column."""
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    parts = []
+    for r in range(REPLICAS):
+        cols = {}
+        for c in t.schema.names:
+            arr = t.column(c)
+            if c in key_cols and r > 0:
+                arr = pa.chunked_array(
+                    [pa.compute.add(ch, r * SHIFT * key_cols[c]) for ch in arr.chunks]
+                )
+            cols[c] = arr
+        parts.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet")
+
+
+def make_documents(out_dir: str, n_docs: int = 50_000) -> None:
+    """49k unique-vocab docs + 250 planted near-dup clusters of 4 (~90%
+    token overlap inside a cluster). Deterministic, ASCII."""
+    rows_id, rows_txt = [], []
+    doc = 0
+    for cluster in range(250):
+        base = [f"c{cluster}share{j}tok" for j in range(90)]
+        for m in range(4):
+            toks = base + [f"c{cluster}m{m}own{j}" for j in range(10)]
+            rows_id.append(doc)
+            rows_txt.append(" ".join(toks))
+            doc += 1
+    while doc < n_docs:
+        n_tok = 40 + (doc * 7) % 160
+        rows_id.append(doc)
+        rows_txt.append(" ".join(f"d{doc}w{j % 53}u{j}" for j in range(n_tok)))
+        doc += 1
+    langs = ["en", "de", "fr", "es"]
+    srcs = ["webcrawl", "books", "forums"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "text": pa.array(rows_txt, pa.string()),
+            "lang": pa.array([langs[i % 4] for i in rows_id], pa.string()),
+            "source": pa.array([srcs[i % 3] for i in rows_id], pa.string()),
+            "n_chars": pa.array([len(s) for s in rows_txt], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+
+
+def make_embeddings(out_dir: str, n_vecs: int = 20_000, dim: int = 64) -> None:
+    """Seeded isotropic vectors + 100 planted near-dup pairs (cosine ~0.95)
+    + 10 label clusters carrying a mild shared component."""
+    rng = np.random.RandomState(20260816)
+    x = rng.normal(size=(n_vecs, dim)).astype(np.float64)
+    labels = (np.arange(n_vecs) % 10).astype(np.int32)
+    centers = rng.normal(size=(10, dim)) * 0.5
+    x += centers[labels]
+    for p in range(100):  # vec 2p+1 := near-copy of vec 2p
+        x[2 * p + 1] = x[2 * p] + rng.normal(size=dim) * 0.08
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in x], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".cache",
+            "sf1",
+        ),
+    )
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    # dimension tables are shared (a real scale-up grows facts, not regions)
+    for name in ("region", "nation"):
+        pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{args.out}/{name}.parquet")
+    _replicate("customer", args.out, {"c_custkey": 1})
+    _replicate("supplier", args.out, {"s_suppkey": 1})
+    _replicate("part", args.out, {"p_partkey": 1})
+    _replicate("orders", args.out, {"o_orderkey": 1, "o_custkey": 1})
+    _replicate(
+        "lineitem", args.out, {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1}
+    )
+    _replicate("events", args.out, {"event_id": 1, "user_id": 1})
+    make_documents(args.out)
+    make_embeddings(args.out)
+    for name in sorted(os.listdir(args.out)):
+        t = pq.read_table(os.path.join(args.out, name), columns=[])
+        print(name, t.num_rows, file=sys.stderr)
+    print(args.out)
+
+
+if __name__ == "__main__":
+    main()
