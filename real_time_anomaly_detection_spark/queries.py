@@ -608,6 +608,36 @@ WHERE a.c_custkey < b.c_custkey
         pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 200.0
 """
 
+# Large-scale twin of _Q22_SQL: the all-pairs oracle is O(n^2) BY DESIGN
+# (maximal independence from the grid prefilter it verifies) and is
+# infeasible past ~20k customers (11e9 pairs at sf1's 150k). This variant
+# verifies the same query with the grid prefilter replicated in SQL —
+# independent ENGINE, same algorithm — and is what the sf1 parity pass uses
+# (tests/test_oracle_parity.py picks it via SPARK_GRAFT_GRID_ORACLE=1).
+# The haversine expression and rounding are byte-identical to _Q22_SQL.
+_Q22_SQL_GRID = """
+WITH c AS (SELECT c_custkey, (c_custkey * 37 % 12000) / 100.0 - 60.0 AS lat,
+                  (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon FROM customer),
+a AS (SELECT *, floor((lat + 60.0) / 4.0) AS cx,
+             floor((lon + 180.0) / 4.0) AS cy FROM c),
+b AS (SELECT c.c_custkey, c.lat, c.lon,
+             floor((lat + 60.0) / 4.0) + o.dx AS ncx,
+             ((CAST(floor((lon + 180.0) / 4.0) AS BIGINT) + o.dy) % 90 + 90) % 90 AS ncy
+      FROM c, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                      (1,-1),(1,0),(1,1)) o(dx, dy))
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       round(2 * 6371.0 * asin(sqrt(
+         pow(sin(radians(b.lat - a.lat) / 2), 2) +
+         cos(radians(a.lat)) * cos(radians(b.lat)) *
+         pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+FROM a JOIN b ON a.cx = b.ncx AND a.cy = b.ncy
+WHERE a.c_custkey < b.c_custkey
+  AND 2 * 6371.0 * asin(sqrt(
+        pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        cos(radians(a.lat)) * cos(radians(b.lat)) *
+        pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 200.0
+"""
+
 
 # --------------------------------------------------------------------------
 # Training-data pipeline ops: text analysis, dedup, similarity
@@ -2001,6 +2031,14 @@ def q43_winnowing_neardup(spark, sf_dir):
         .filter(F.col("i") <= F.greatest(F.col("n") - F.lit(_WN_W - 1), F.lit(1)))
         .select("doc_id", "fp")
         .distinct()
+        # the fingerprint relation is referenced three times below (df-cap
+        # agg + both sides of the pair self-join); without a persist Catalyst
+        # re-derives each reference from the scan and the expensive
+        # gram-explode + window-min pass runs FOUR times (plan-audited: 4
+        # FileScans of documents). Persisted it is computed once; the
+        # relation is O(total_chars / w) rows of (long, long) — ~1/4 gram
+        # count — and MEMORY_AND_DISK spills rather than OOMs at scale.
+        .persist()
     )
     rare = (
         x.groupBy("fp")

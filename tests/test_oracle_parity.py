@@ -24,6 +24,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 ORACLES = dict(_STATIC_ORACLES)
 ORACLES["q46_ann_ivf_trained"] = _q46_sql(SF_DIR)
 
+# Large-scale runs swap q22's all-pairs oracle (O(n^2), 11e9 pairs at sf1's
+# 150k customers) for the grid-prefiltered SQL twin — same result, feasible.
+if os.environ.get("SPARK_GRAFT_GRID_ORACLE"):
+    from real_time_anomaly_detection_spark.queries import _Q22_SQL_GRID
+
+    ORACLES["q22_haversine_pairs"] = _Q22_SQL_GRID
+
 
 @pytest.fixture(scope="module")
 def ddb():
@@ -56,10 +63,21 @@ def test_query_matches_oracle(spark, ddb, name):
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):
+            # exact OR relative 1e-13: a cross-engine float-identity test.
+            # At sf1 volume (6M-row double sums of magnitude ~1e10) the two
+            # engines' summation orders differ by ~1e-16 RELATIVE — a few
+            # 1e-6 steps ABSOLUTE, which the 6-decimal rounding grid cannot
+            # absorb. rel 1e-13 admits exactly that class of difference and
+            # nothing else (at |y| <= 1e7 it is tighter than the grid, so
+            # small-sf comparisons remain effectively exact).
             bad = [
                 (x, y)
                 for x, y in zip(a[c], b[c])
-                if not (x == y or (isinstance(x, float) and math.isnan(x) and math.isnan(y)))
+                if not (
+                    x == y
+                    or (isinstance(x, float) and math.isnan(x) and math.isnan(y))
+                    or math.isclose(x, y, rel_tol=1e-13, abs_tol=0.0)
+                )
             ]
             assert not bad, f"{name}.{c}: {bad[:5]}"
         else:
