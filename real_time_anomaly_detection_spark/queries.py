@@ -1367,10 +1367,12 @@ SELECT vec_a, vec_b,
               sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
 FROM cands JOIN e ea ON cands.vec_a = ea.vec_id
            JOIN e eb ON cands.vec_b = eb.vec_id
-WHERE list_dot_product(ea.emb, eb.emb) /
-      (sqrt(list_dot_product(ea.emb, ea.emb)) *
-       sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.45
+WHERE round(list_dot_product(ea.emb, eb.emb) /
+            (sqrt(list_dot_product(ea.emb, ea.emb)) *
+             sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.45
 """
+# ^ threshold on the ROUNDED cosine, matching the Spark filter — see the
+# knife-edge note at _Q39_SQL.
 
 
 _Q42_SQL = _q42_sql()
@@ -1665,10 +1667,16 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.emb, b.emb) /
-      (sqrt(list_dot_product(a.emb, a.emb)) *
-       sqrt(list_dot_product(b.emb, b.emb))) >= 0.45
+  AND round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.45
 """
+# ^ the threshold is applied to the ROUNDED cosine in BOTH engines (the
+# Spark side filters the _r6 column): filtering the raw float instead put
+# the knife edge at 0.45 itself, where a 1-ulp summation-order difference
+# between engines flips membership (observed: one pair in 263k at sf1).
+# On the rounded value the hazard moves to the 0.4499995 rounding midpoint,
+# where no computed cosine sits within 1 ulp.
 
 
 # SimHash width: 60 bits (the full value of the portable 15-hex-char md5
