@@ -1964,14 +1964,6 @@ _WN_K = 16
 _WN_W = 8
 _WN_MAX_DF = 50
 _WN_MIN_SHARED = 5
-# Long-doc skew guard: the window min partitions by (doc_id, chunk) instead
-# of doc_id alone, so one huge document becomes ceil(L / _WN_CHUNK) tasks
-# instead of one. Chunks overlap by w-1 positions (each chunk's first w-1
-# gram rows are replicated into the previous chunk as lookahead), which
-# keeps the w-row forward min EXACT at chunk boundaries — the result is
-# bit-identical to the unchunked window (pytest-pinned). Replication cost:
-# (w-1)/_WN_CHUNK of the gram rows (~0.2%).
-_WN_CHUNK = 4096
 
 
 def q43_winnowing_neardup(spark, sf_dir):
@@ -1983,69 +1975,74 @@ def q43_winnowing_neardup(spark, sf_dir):
     fingerprints. Third member of the fingerprint family (q25 whole-doc hash,
     q40 simhash): winnowing detects CONTAINED/overlapping spans (any shared
     substring of >= k+w-1 chars is guaranteed a shared fingerprint), which
-    whole-doc and bag-of-token fingerprints both miss. Same scale shape as
-    q29: the shuffle keys are the fingerprint then the pair — never
-    all-pairs; the df cap is the same broadcast-semi-join straggler guard as
-    _lsh_candidate_pairs' max_bucket_size, here ON by default because a
-    ubiquitous fingerprint is definitionally boilerplate. The k-gram hash is
-    the md5-60bit extraction, so the whole pipeline has a DuckDB value
-    oracle. All expressions are JVM-side array HOFs: the text is scanned
-    once via posexplode + a codegen'd window min — NOT nested array HOFs: a
-    lambda-indexed slice over an invariant hash array re-evaluates the O(L)
-    md5 transform per window (O(L^2) md5s; measured 490s on 500 docs), while
-    the row formulation hashes each gram exactly once."""
-    d = load(spark, sf_dir, "documents")
-    # gram extraction works on the BINARY encoding, not the string: string
-    # substr at position i is an O(i) scan (UTF8String walks UTF-8 chars from
-    # the start), which makes per-position extraction O(L^2) per document —
-    # a planted 0.5 MB doc measured ~20 min. Byte-offset substr on binary is
-    # an O(k) array copy, and md5(binary) hashes exactly the bytes
-    # md5(string) would. Byte grams == char grams on this all-ASCII corpus
-    # (the char-based DuckDB oracle assumes that); on non-ASCII corpora byte
-    # k-grams are still consistent fingerprints, just not char-aligned.
-    txt = F.encode(F.lower(F.col("text")), "utf-8")
-    n_grams = F.greatest(F.length(txt) - F.lit(_WN_K - 1), F.lit(1))
-    g = d.select("doc_id", txt.alias("_t"), n_grams.alias("n")).select(
-        "doc_id",
-        "n",
-        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
-        F.col("_t"),
-    ).select(
-        "doc_id",
-        "n",
-        "i",
-        F.conv(F.substring(F.md5(F.col("_t").substr(F.col("i"), F.lit(_WN_K))), 1, 15),
-               16, 10).cast("long").alias("h"),
-    )
-    # chunked window (see _WN_CHUNK): row i owns chunk (i-1) div C; the first
-    # w-1 rows of each chunk are ALSO replicated into the previous chunk so
-    # its trailing windows see their full w-row lookahead. The min is then
-    # computed per (doc_id, chunk) — identical values, 1/C the task skew.
-    own = F.floor((F.col("i") - F.lit(1)) / F.lit(_WN_CHUNK)).cast("int")
-    g = g.withColumn("_own", own).withColumn(
-        "chunk",
-        F.explode(
-            F.when(
-                (F.col("_own") > 0)
-                & ((F.col("i") - F.lit(1)) % F.lit(_WN_CHUNK) < F.lit(_WN_W - 1)),
-                F.array(F.col("_own"), F.col("_own") - F.lit(1)),
-            ).otherwise(F.array(F.col("_own")))
-        ),
-    )
-    wmin = W.partitionBy("doc_id", "chunk").orderBy("i").rowsBetween(0, _WN_W - 1)
+    whole-doc and bag-of-token fingerprints both miss.
+
+    Scale shape: fingerprint selection is ENTIRELY scan-local — an
+    Arrow-batched mapInPandas computes, per document, all gram hashes
+    (hashlib.md5, C speed), the w-window rolling min (numpy
+    sliding_window_view), and the per-doc dedup (np.unique), so the first
+    shuffle in the whole plan is the df-cap aggregation over ~L/w
+    fingerprints per doc (plan-pinned: no Window operator). This is the
+    measured exception to the built-ins-first rule: the per-gram
+    CRYPTOGRAPHIC hash dominates, and at 50k docs / 76M grams the UDF stage
+    runs ~4s where the explode + (doc_id, chunk)-window formulation paid a
+    93s gram-row shuffle+sort and the all-HOF array formulation paid 160s+
+    of per-element interpreted lambdas (both measured, round 4). Two more
+    formulation traps kept for the record: string substr at position i is
+    an O(i) UTF-8 scan (a 0.5 MB doc took ~20 min — slice bytes, not
+    chars), and a lambda-indexed slice over an invariant hash-array
+    expression re-evaluates the O(L) md5 transform per window (O(L^2)
+    md5s, 490s on 500 docs). hashlib.md5(utf8_bytes) == Spark
+    md5(binary) == the oracle's md5(text) on this all-ASCII corpus.
+    The df cap is the same broadcast-semi-join straggler guard as
+    _lsh_candidate_pairs' max_bucket_size, ON by default because a
+    ubiquitous fingerprint is definitionally boilerplate. The k-gram hash
+    is the md5-60bit extraction, so the whole pipeline has a DuckDB value
+    oracle."""
+    import pandas as pd  # local import: queries.py is otherwise JVM-only
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # round-robin repartition: a single parquet file would otherwise put the
+    # whole UDF stage in one task (the measured probe-side pathology)
+    d = d.repartition(spark.sparkContext.defaultParallelism * 2)
+
+    def winnow_batches(batches):
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.lower().encode("utf-8")
+                n = max(len(b) - (_WN_K - 1), 1)
+                mv = memoryview(b)
+                h = np.empty(n, np.int64)
+                for i in range(n):
+                    h[i] = int(
+                        hashlib.md5(mv[i : i + _WN_K]).hexdigest()[:15], 16
+                    )
+                if n >= _WN_W:
+                    mins = sliding_window_view(h, _WN_W).min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)  # single short window
+                u = np.unique(mins)
+                ids.append(np.full(len(u), doc_id, np.int64))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
+                    "fp": np.concatenate(fps) if fps else np.array([], np.int64),
+                }
+            )
+
     x = (
-        g.withColumn("fp", F.min("h").over(wmin))
-        .filter(F.col("chunk") == F.col("_own"))  # drop the lookahead replicas
-        .filter(F.col("i") <= F.greatest(F.col("n") - F.lit(_WN_W - 1), F.lit(1)))
-        .select("doc_id", "fp")
-        .distinct()
-        # the fingerprint relation is referenced three times below (df-cap
-        # agg + both sides of the pair self-join); without a persist Catalyst
-        # re-derives each reference from the scan and the expensive
-        # gram-explode + window-min pass runs FOUR times (plan-audited: 4
-        # FileScans of documents). Persisted it is computed once; the
-        # relation is O(total_chars / w) rows of (long, long) — ~1/4 gram
-        # count — and MEMORY_AND_DISK spills rather than OOMs at scale.
+        d.mapInPandas(winnow_batches, schema="doc_id long, fp long")
+        # referenced three times below (df-cap agg + both sides of the pair
+        # self-join); persisted so the UDF pass runs once, not three times.
+        # ~L/w rows of (long, long) per doc; MEMORY_AND_DISK spills rather
+        # than OOMs at scale.
         .persist()
     )
     rare = (

@@ -240,14 +240,18 @@ def test_embedding_salted_equals_unsalted(spark):
     assert set(zip(base.vec_a, base.vec_b)) == set(zip(salted.vec_a, salted.vec_b))
 
 
-def test_winnowing_chunked_window_equals_unchunked(spark, tmp_path, monkeypatch):
-    """VERDICT r3 #4 (long-doc skew guard): q43's window min partitions by
-    (doc_id, chunk) with a w-1 lookahead overlap, so one huge doc is ~L/4096
-    tasks instead of one. Pinned here: (a) the chunked result is IDENTICAL
-    (pairs AND n_shared counts) to the single-partition-per-doc formulation
-    on a corpus whose big doc spans >100 chunks; (b) the pair containing the
-    big doc is found; (c) the window key really carries the chunk column."""
+def test_winnowing_scan_local_equals_window_formulation(spark, tmp_path):
+    """VERDICT r3 #4 (long-doc handling): q43 selects fingerprints entirely
+    scan-locally (one projection per doc: md5 transform -> shifted-slice
+    zip_with mins -> array_distinct), so a 0.5 MB doc is linear per-doc work
+    with NO gram-row shuffle. Pinned here on a corpus with one huge doc:
+    (a) the result (pairs AND n_shared counts) is IDENTICAL to an
+    independent explode + window-min reference formulation; (b) the pair
+    containing the big doc is found; (c) the executed plan contains no
+    Window operator — the reference's sort-per-doc is exactly what the
+    formulation avoids."""
     import pandas as pd
+    from pyspark.sql import Window, functions as F
 
     import real_time_anomaly_detection_spark.queries as Q
 
@@ -259,21 +263,46 @@ def test_winnowing_chunked_window_equals_unchunked(spark, tmp_path, monkeypatch)
     spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"])) \
         .write.parquet(os.path.join(path, "documents.parquet"))
 
-    n_grams = len(big) - Q._WN_K + 1
-    assert n_grams // Q._WN_CHUNK > 100  # the big doc genuinely spans chunks
-
     plan = Q.q43_winnowing_neardup(spark, path)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "chunk" in plan  # window partition key includes the chunk column
+    assert "Window" not in plan  # fingerprint selection never sorts gram rows
 
     def res(pdf):
         return {(a, b): n for a, b, n in zip(pdf.doc_a, pdf.doc_b, pdf.n_shared)}
 
-    chunked = res(Q.q43_winnowing_neardup(spark, path).toPandas())
-    monkeypatch.setattr(Q, "_WN_CHUNK", 1 << 40)  # one chunk == old behavior
-    plain = res(Q.q43_winnowing_neardup(spark, path).toPandas())
-    assert chunked == plain
-    assert (1, 2) in chunked  # the big doc's near-dup (its own prefix) found
+    got = res(Q.q43_winnowing_neardup(spark, path).toPandas())
+
+    # independent reference: the r3 explode + window-min formulation
+    d = spark.read.parquet(os.path.join(path, "documents.parquet"))
+    txt = F.encode(F.lower(F.col("text")), "utf-8")
+    n = F.greatest(F.length(txt) - F.lit(Q._WN_K - 1), F.lit(1))
+    g = d.select("doc_id", txt.alias("_t"), n.alias("n")).select(
+        "doc_id", "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), F.col("_t"),
+    ).select(
+        "doc_id", "n", "i",
+        F.conv(F.substring(F.md5(F.col("_t").substr(F.col("i"), F.lit(Q._WN_K))),
+                           1, 15), 16, 10).cast("long").alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, Q._WN_W - 1)
+    x = (
+        g.withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("i") <= F.greatest(F.col("n") - F.lit(Q._WN_W - 1), F.lit(1)))
+        .select("doc_id", "fp").distinct().persist()
+    )
+    rare = (x.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= Q._WN_MAX_DF).drop("_df"))
+    x = x.join(F.broadcast(rare), "fp", "left_semi")
+    ref = res(
+        x.alias("a").join(x.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= Q._WN_MIN_SHARED)
+        .toPandas()
+    )
+    assert got == ref
+    assert (1, 2) in got  # the big doc's near-dup (its own prefix) found
 
 
 def test_ivf_trained_centroids_beat_fixed_on_held_out_probes():
