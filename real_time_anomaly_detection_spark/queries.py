@@ -1250,9 +1250,11 @@ _ND_BANDS = 6
 _ND_PLANES_PER_BAND = 2
 
 
-def _nd_planes() -> list[list[float]]:
+def _nd_planes(n: int = None) -> list[list[float]]:
     s, out = 0x5EED1E55, []
-    for _ in range(_ND_BANDS * _ND_PLANES_PER_BAND):
+    if n is None:
+        n = _ND_BANDS * _ND_PLANES_PER_BAND
+    for _ in range(n):
         row = []
         for _ in range(_ANN_DIM):
             s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
@@ -1264,9 +1266,15 @@ def _nd_planes() -> list[list[float]]:
 _ND_PLANES = _nd_planes()
 
 
-def _nd_bands_expr(emb_col: str):
+def _nd_bands_expr(emb_col: str, n_bands: int = _ND_BANDS,
+                   planes_per_band: int = _ND_PLANES_PER_BAND):
     """[(band, bucket)] array column for the banded cosine LSH — shared by
-    q42 and the streaming embedding dedup."""
+    q42 and the streaming embedding dedup. `n_bands`/`planes_per_band` set
+    the recall/candidate-volume trade: a RANDOM pair collides on a band
+    with prob 0.5^planes_per_band, so at scale the band width must be
+    matched to the verify threshold (see q42's docstring). Defaults
+    reproduce the oracle-pinned 6x2 configuration (same LCG plane stream)."""
+    planes = _nd_planes(n_bands * planes_per_band)
 
     def _dot_lit(plane):
         arr = F.array(*[F.lit(v) for v in plane])
@@ -1282,19 +1290,22 @@ def _nd_bands_expr(emb_col: str):
                 F.lit(b).alias("band"),
                 sum(
                     F.when(
-                        _dot_lit(_ND_PLANES[_ND_PLANES_PER_BAND * b + j]) > 0,
+                        _dot_lit(planes[planes_per_band * b + j]) > 0,
                         F.lit(1 << j),
                     ).otherwise(F.lit(0))
-                    for j in range(_ND_PLANES_PER_BAND)
+                    for j in range(planes_per_band)
                 ).alias("bucket"),
             )
-            for b in range(_ND_BANDS)
+            for b in range(n_bands)
         ]
     )
 
 
 def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
-                              salt: int | None = None):
+                              salt: int | None = None,
+                              n_bands: int = _ND_BANDS,
+                              planes_per_band: int = _ND_PLANES_PER_BAND,
+                              threshold: float = 0.45):
     """The canonical embedding near-dup pipeline at scale (q34's analog for
     vectors, closing round 2's last all-pairs hole): banded cosine-LSH
     candidate generation -> exact cosine >= 0.45 verification on candidates
@@ -1310,11 +1321,26 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     (see `_lsh_candidate_pairs`), threaded through identically: a boilerplate
     embedding cluster (e.g. all-zero vectors hashing to one bucket) caps or
     salts the same way a boilerplate text bucket does. Defaults off — the
-    oracle twin has no cap."""
+    oracle twin has no cap.
+
+    `n_bands`/`planes_per_band`/`threshold` tune the LSH to the corpus and
+    similarity regime. THE DEFAULTS DO NOT SCALE and exist for the oracle:
+    2-plane bands collide for a RANDOM pair with prob 1-(1-0.25)^6 = 0.82,
+    so candidate volume approaches all-pairs as n grows (measured: 165M of
+    200M possible pairs at 20k clustered vectors, sf1) — the 0.45 threshold
+    this corpus demands (its max cosine is ~0.51) is simply not a
+    bandable regime. At a production near-dup threshold the geometry works:
+    at threshold 0.9 with 6 x 12-plane bands the same sf1 corpus yields
+    ~0.8M candidates (500x fewer) and recall 1.0 on its planted
+    cosine-0.997 duplicate pairs (pytest + BENCH/BASELINE.md, round 4).
+    The hot-bucket cap is NOT a fix for mis-matched banding: capped at 200
+    on the dense configuration every planted pair drowned in an over-cap
+    bucket and recall went to ZERO (measured)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    x = e.select(F.col("vec_id").alias("doc_id"), F.explode(_nd_bands_expr("emb")).alias("bb")).select(
+    bands = _nd_bands_expr("emb", n_bands, planes_per_band)
+    x = e.select(F.col("vec_id").alias("doc_id"), F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     # shared candidate-join helper: probe-side repartition + cap/salt knobs
@@ -1335,7 +1361,7 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cosine", _r6(dot / (norm("ea") * norm("eb"))))
-        .filter(F.col("cosine") >= 0.45)
+        .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
 
