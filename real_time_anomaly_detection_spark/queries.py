@@ -870,26 +870,36 @@ def _hashed_tokens(text_col):
 
 def _minhash_bands_spark(htoks):
     """[(band, bucket)] array column from HASHED tokens:
-    bucket = mh[2b] * P + mh[2b+1], mh_i = min((h % P) * a_i + b_i mod P)."""
+    bucket = mh[2b] * P + mh[2b+1], mh_i = min((h % P) * a_i + b_i mod P).
+
+    The token array is bound ONCE as a lambda variable via
+    transform(array(htoks), ...): the 8 minhash array_mins below reference
+    it 8 times, and a direct reference to the `htoks` EXPRESSION would make
+    Catalyst re-evaluate the whole tokenize+md5 transform per reference
+    (8x the md5 work — measured ~21s of a 25s bands derivation at 50k
+    docs/6M tokens; bound, the md5 pass runs once)."""
 
     def _hash_fn(a: int, b: int):
         # factory closure: pyspark introspects HOF lambda arity, so the
         # (a, b) constants must be captured, not passed as defaulted params
         return lambda h: ((h % _MH_P) * a + b) % _MH_P
 
-    mh = [
-        F.array_min(F.transform(htoks, _hash_fn(a, b)))
-        for a, b in zip(_MH_A, _MH_B)
-    ]
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                (mh[2 * b] * _MH_P + mh[2 * b + 1]).alias("bucket"),
-            )
-            for b in range(_MH_BANDS)
+    def _bands_from(ht):
+        mh = [
+            F.array_min(F.transform(ht, _hash_fn(a, b)))
+            for a, b in zip(_MH_A, _MH_B)
         ]
-    )
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (mh[2 * b] * _MH_P + mh[2 * b + 1]).alias("bucket"),
+                )
+                for b in range(_MH_BANDS)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(htoks), _bands_from), 1)
 
 
 _HTOKS_SQL = (
