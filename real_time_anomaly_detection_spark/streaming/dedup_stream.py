@@ -98,11 +98,20 @@ def _emb_prepare(batch: DataFrame) -> DataFrame:
     )
 
 
-def _emb_bands(batch: DataFrame) -> DataFrame:
+def _emb_bands(batch: DataFrame, n_bands: int | None = None,
+               planes_per_band: int | None = None) -> DataFrame:
+    """Banding must be threshold-matched at scale (see q42's docstring: the
+    default 6x2 configuration is candidate-dense for any sizeable clustered
+    corpus); `stream_dedup(band_kwargs=...)` threads the knobs here."""
+    kw = {}
+    if n_bands is not None:
+        kw["n_bands"] = n_bands
+    if planes_per_band is not None:
+        kw["planes_per_band"] = planes_per_band
     emb = F.transform("embedding", lambda x: x.cast("double"))
     return batch.select(
         "doc_id", emb.alias("_e")
-    ).select("doc_id", F.explode(_nd_bands_expr("_e")).alias("bb")).select(
+    ).select("doc_id", F.explode(_nd_bands_expr("_e", **kw)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -205,14 +214,26 @@ def stream_dedup(
     store_buckets: int = STORE_BUCKETS,
     available_now: bool = True,
     processing_time: str = "600 seconds",
+    band_kwargs: dict | None = None,
 ):
     """Watch `input_path` for new files of the given modality; emit verified
     near-dup pairs per epoch under `out_dir`/pairs/epoch_id=N. `doc_a` is the
     previously-seen (or lower-id within-batch) item, `doc_b` the new one.
     `max_bucket_size`/`salt` are the hot-bucket mitigations from the batch
     pipelines, applied to both the within-batch and store joins.
-    Returns the StreamingQuery."""
+    `band_kwargs` (embedding modality): n_bands/planes_per_band for
+    threshold-matched banding (see q42's docstring — the 6x2 default is
+    candidate-dense on clustered corpora; a production cosine-0.9 stream
+    wants e.g. dict(n_bands=6, planes_per_band=12) with threshold=0.9).
+    NOTE: changing band geometry mid-stream invalidates the accumulated
+    bands_store — pick it at stream creation and keep it for the store's
+    lifetime. Returns the StreamingQuery."""
     schema, prepare, bands_of, sim_fn, default_thr = _MODALITIES[modality]
+    if band_kwargs:
+        if modality != "embedding":
+            raise ValueError("band_kwargs applies to the embedding modality only")
+        _inner = bands_of
+        bands_of = lambda b: _inner(b, **band_kwargs)  # noqa: E731
     threshold = default_thr if threshold is None else threshold
     bands_store = os.path.join(out_dir, "bands_store")
     payload_store = os.path.join(out_dir, "payload_store")

@@ -243,3 +243,52 @@ def test_checkpoint_replay_of_partial_epoch_is_exact(spark, tmp_path):
     assert _norm(after) == _norm(before)
     assert len(after) == len(before)  # replay did not duplicate pair rows
     assert os.path.isdir(os.path.join(out, "bands_store", "epoch_id=1"))
+
+
+def test_embedding_stream_threshold_matched_banding(spark, tmp_path):
+    """Round 4: `band_kwargs` threads the threshold-matched banding (q42's
+    scale configuration) into the streaming embedding dedup. On a clustered
+    corpus with planted cosine~0.997 duplicates split across two batches,
+    the 6x12-plane stream at threshold 0.9 finds exactly the planted pairs —
+    including the cross-batch ones — matching batch
+    q42(n_bands=6, planes_per_band=12, threshold=0.9) on the union."""
+    import numpy as np
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import q42_embedding_neardup_lsh
+
+    rng = np.random.RandomState(3)
+    n, dim = 400, 64
+    x = rng.normal(size=(n, dim))
+    x += (rng.normal(size=(10, dim)) * 0.5)[np.arange(n) % 10]
+    for p in range(10):
+        x[2 * p + 1] = x[2 * p] + rng.normal(size=dim) * 0.01
+    rows = [{"doc_id": i, "embedding": [float(v) for v in x[i]]} for i in range(n)]
+    # split so 5 planted pairs straddle the batch boundary
+    b1, b2 = rows[:15] + rows[20:210], rows[15:20] + rows[210:]
+
+    src = str(tmp_path / "es_src")
+    out = str(tmp_path / "es_out")
+    ckpt = str(tmp_path / "es_ckpt")
+    kw = dict(n_bands=6, planes_per_band=12)
+    for pdf in (b1, b2):
+        spark.createDataFrame(pd.DataFrame(pdf), "doc_id long, embedding array<float>") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q = dedup_stream.stream_dedup(
+            spark, src, ckpt, out, modality="embedding",
+            threshold=0.9, band_kwargs=kw,
+        )
+        q.awaitTermination()
+
+    got = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    planted = {frozenset((2 * p, 2 * p + 1)) for p in range(10)}
+    assert got == planted
+
+    all_dir = str(tmp_path / "all")
+    allp = pd.DataFrame(rows).rename(columns={"doc_id": "vec_id"})
+    spark.createDataFrame(allp, "vec_id long, embedding array<float>").write.parquet(
+        os.path.join(all_dir, "embeddings.parquet"))
+    truth = q42_embedding_neardup_lsh(
+        spark, all_dir, n_bands=6, planes_per_band=12, threshold=0.9
+    ).toPandas()
+    assert got == _norm(truth.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"}))
