@@ -1761,7 +1761,10 @@ def q40_simhash_hamming(spark, sf_dir):
     EVERY pair with Hamming distance <= 3) -> verify bit_count(xor) <= 3.
     The banding keeps the join bucketed (never all-pairs) exactly like q29,
     and the banded join is exact (recall 1) for the verify threshold."""
-    fp = _simhash60(load(spark, sf_dir, "documents"))
+    # one row per doc; persisted because the banded self-join below would
+    # otherwise re-derive the whole explode + 60-vote simhash agg once per
+    # join side (the q29/q43 multi-reference pattern)
+    fp = _simhash60(load(spark, sf_dir, "documents")).persist()
     chunks = F.array(
         *[
             F.struct(
