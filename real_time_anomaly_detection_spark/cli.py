@@ -166,6 +166,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--store-buckets", type=int, default=64,
                    help="hash-bucket partition count for the state stores "
                         "(file pruning granularity)")
+    p.add_argument("--n-bands", type=int,
+                   help="embedding modality: LSH band count (default 6); "
+                        "pick ONCE per store — changing geometry mid-stream "
+                        "invalidates the accumulated bands_store")
+    p.add_argument("--planes-per-band", type=int,
+                   help="embedding modality: hyperplanes per band (default "
+                        "2). The default is candidate-dense on clustered "
+                        "corpora; a production cosine-0.9 stream wants e.g. "
+                        "--planes-per-band 12 --threshold 0.9")
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
@@ -242,6 +251,12 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "stream-dedup":
         from .streaming import dedup_stream
 
+        band_kwargs = {
+            k: v
+            for k, v in (("n_bands", args.n_bands),
+                         ("planes_per_band", args.planes_per_band))
+            if v is not None
+        } or None
         q = dedup_stream.stream_dedup(
             spark, args.input, args.checkpoint, args.out,
             modality=args.modality,
@@ -251,6 +266,7 @@ def main(argv: list[str] | None = None) -> None:
             store_buckets=args.store_buckets,
             available_now=not args.continuous,
             processing_time=args.trigger,
+            band_kwargs=band_kwargs,
         )
         q.awaitTermination()
         print(args.out)

@@ -1915,12 +1915,19 @@ def q38_language_id(spark, sf_dir):
     (ties broken by profile order), 'und' when every score is 0. Pure
     Catalyst array HOFs per row; one hash agg for the rollup."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    n_tok = F.greatest(F.size(toks), F.lit(1))
+    # explode(array(expr)) barriers: CollapseProject re-inlines a projected
+    # expression into every downstream reference, so without them the token
+    # split re-runs once per language profile and the whole entries array
+    # (every profile's filter scan) re-runs for each of the three `best`
+    # field accesses (~3x the row work, measured at 50k docs). A Generate
+    # blocks the collapse; its output is an attribute, referenced for free.
+    tokd = d.select(
+        F.explode(F.array(F.split(F.col("text"), r"\s+"))).alias("_t")
+    )
 
     def _score(words):
         stop_arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        return F.size(F.filter(F.col("_t"), lambda t: F.array_contains(stop_arr, t)))
 
     # argmax as ONE array_max over (score, -index, lang) structs — struct
     # ordering is lexicographic, so strict-greater score wins and equal
@@ -1939,11 +1946,15 @@ def q38_language_id(spark, sf_dir):
             for i, (lang, words) in enumerate(_LANGID_PROFILES)
         ]
     )
-    best = F.array_max(entries)
-    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
-    scored = d.select(
-        pred.alias("lang_pred"),
-        (best["score"] / n_tok).alias("_conf"),
+    bestd = tokd.select(
+        F.explode(F.array(F.array_max(entries))).alias("_b"),
+        F.greatest(F.size("_t"), F.lit(1)).alias("_n"),
+    )
+    scored = bestd.select(
+        F.when(F.col("_b.score") > 0, F.col("_b.lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        (F.col("_b.score") / F.col("_n")).alias("_conf"),
     )
     return scored.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
