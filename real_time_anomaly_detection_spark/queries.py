@@ -2065,6 +2065,11 @@ def q43_winnowing_neardup(spark, sf_dir):
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # Catalyst formulation yields a null fingerprint here,
+                    # which the fp equi-join drops — emitting nothing is the
+                    # same final pair set
+                    continue
                 b = text.lower().encode("utf-8")
                 n = max(len(b) - (_WN_K - 1), 1)
                 mv = memoryview(b)

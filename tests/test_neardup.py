@@ -408,3 +408,58 @@ def test_threshold_matched_banding_beats_dense_default(spark, tmp_path):
 
     dense, wide = n_cands(6, 2), n_cands(6, 12)
     assert wide * 50 <= dense, f"wide {wide} vs dense {dense}"
+
+
+def test_winnowing_degenerate_docs(spark, tmp_path):
+    """Null, empty, and shorter-than-k documents must not crash the
+    fingerprint UDF and must not affect pairs among normal docs — matching
+    the DuckDB oracle on the same corpus (null text yields a null
+    fingerprint there, dropped by the fp equi-join)."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import (
+        _Q43_SQL,
+        q43_winnowing_neardup,
+    )
+
+    shared = ("a long enough shared sentence that winnowing certainly "
+              "fingerprints in both documents end to end")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [shared + " tail one", shared + " tail two",
+                 None, "", "short"],
+    })
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet"))
+
+    got = q43_winnowing_neardup(spark, path).toPandas()
+    got_set = {(a, b, n) for a, b, n in zip(got.doc_a, got.doc_b, got.n_shared)}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+                % os.path.join(path, "documents.parquet", "*.parquet"))
+    want = con.execute(_Q43_SQL).df()
+    want_set = {(a, b, n) for a, b, n in zip(want.doc_a, want.doc_b, want.n_shared)}
+    assert got_set == want_set
+    assert any(a == 1 and b == 2 for a, b, _ in got_set)
+    assert not any(3 in (a, b) or 4 in (a, b) or 5 in (a, b) for a, b, _ in got_set)
+
+
+def test_ivf_trained_centroids_deterministic():
+    """q46's oracle integrity depends on the training being bit-identical
+    between the Spark-literal build and the oracle-SQL build (both call
+    _ivf_trained_centroids; lru-style caching hides nondeterminism within a
+    process). Clear the cache and retrain: identical floats, unit rows."""
+    import math
+
+    import real_time_anomaly_detection_spark.queries as Q
+
+    a = Q._ivf_trained_centroids(SF_DIR)
+    Q._IVF_CENT_CACHE.clear()
+    b = Q._ivf_trained_centroids(SF_DIR)
+    assert a == b
+    assert len(a) == Q._IVF_CELLS
+    for row in a:
+        assert math.isclose(sum(v * v for v in row), 1.0, rel_tol=1e-9)
