@@ -868,16 +868,39 @@ def _hashed_tokens(text_col):
     )
 
 
-def _minhash_bands_spark(htoks):
+def _mh_constants(n: int) -> list[tuple[int, int]]:
+    """n universal-hash (a, b) pairs. The first 8 are the literal
+    oracle-pinned constants; extras (wide-band configs) come from a seeded
+    LCG — deterministic, Spark-side only."""
+    pairs = list(zip(_MH_A, _MH_B))
+    s = 0x51AB1E5EED
+    while len(pairs) < n:
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = s % (_MH_P - 1) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        pairs.append((a, s % _MH_P))
+    return pairs[:n]
+
+
+def _minhash_bands_spark(htoks, n_bands: int = _MH_BANDS, rows_per_band: int = 2):
     """[(band, bucket)] array column from HASHED tokens:
-    bucket = mh[2b] * P + mh[2b+1], mh_i = min((h % P) * a_i + b_i mod P).
+    mh_i = min((h % P) * a_i + b_i mod P); the default bucket combine is
+    mh[2b] * P + mh[2b+1] (fits a long, byte-identical to the DuckDB
+    oracle). `n_bands`/`rows_per_band` set the recall/candidate-volume
+    trade exactly like q42's plane knobs: a pair at Jaccard s collides on a
+    band with prob s^rows_per_band, so corpora with high BASE overlap
+    (boilerplate) need wider bands at production thresholds — the 4x2
+    default is for the value oracle's 0.5-threshold regime. Non-default
+    configs combine rows via xxhash64 (P^r overflows a long past r=2) and
+    are Spark-side only.
 
     The token array is bound ONCE as a lambda variable via
-    transform(array(htoks), ...): the 8 minhash array_mins below reference
-    it 8 times, and a direct reference to the `htoks` EXPRESSION would make
-    Catalyst re-evaluate the whole tokenize+md5 transform per reference
-    (8x the md5 work — measured ~21s of a 25s bands derivation at 50k
-    docs/6M tokens; bound, the md5 pass runs once)."""
+    transform(array(htoks), ...): the minhash array_mins below reference
+    it once per row-hash, and a direct reference to the `htoks` EXPRESSION
+    would make Catalyst re-evaluate the whole tokenize+md5 transform per
+    reference (8x the md5 work — measured ~21s of a 25s bands derivation
+    at 50k docs/6M tokens; bound, the md5 pass runs once)."""
+    consts = _mh_constants(n_bands * rows_per_band)
 
     def _hash_fn(a: int, b: int):
         # factory closure: pyspark introspects HOF lambda arity, so the
@@ -887,15 +910,20 @@ def _minhash_bands_spark(htoks):
     def _bands_from(ht):
         mh = [
             F.array_min(F.transform(ht, _hash_fn(a, b)))
-            for a, b in zip(_MH_A, _MH_B)
+            for a, b in consts
         ]
+        if rows_per_band == 2:
+            bucket = lambda b: (  # noqa: E731 — oracle-pinned combine
+                mh[2 * b] * _MH_P + mh[2 * b + 1]
+            )
+        else:
+            bucket = lambda b: F.xxhash64(  # noqa: E731
+                *mh[rows_per_band * b : rows_per_band * (b + 1)]
+            )
         return F.array(
             *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    (mh[2 * b] * _MH_P + mh[2 * b + 1]).alias("bucket"),
-                )
-                for b in range(_MH_BANDS)
+                F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                for b in range(n_bands)
             ]
         )
 
@@ -995,7 +1023,8 @@ def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
     )
 
 
-def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None):
+def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None,
+                    n_bands: int = _MH_BANDS, rows_per_band: int = 2):
     """MinHash-LSH near-dup candidates: 8 minhash fns -> 4 bands of 2 ->
     ONE explode to (doc_id, band, bucket) -> ONE self-join on (band, bucket)
     -> distinct pairs. At scale this replaces q26's all-pairs join: the
@@ -1009,7 +1038,8 @@ def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None):
     oracle-checked recall target depends on those buckets on this corpus."""
     d = load(spark, sf_dir, "documents")
     htoks = _hashed_tokens(F.col("text"))
-    x = d.select("doc_id", F.explode(_minhash_bands_spark(htoks)).alias("bb")).select(
+    bands = _minhash_bands_spark(htoks, n_bands, rows_per_band)
+    x = d.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     return _lsh_candidate_pairs(x, max_bucket_size)
@@ -1024,7 +1054,9 @@ WHERE a.doc_id < b.doc_id
 
 
 def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
-                             salt: int | None = None):
+                             salt: int | None = None,
+                             n_bands: int = _MH_BANDS, rows_per_band: int = 2,
+                             threshold: float = 0.5):
     """The canonical near-dup pipeline at scale: LSH candidate generation
     (q29's bucketed self-join — never all-pairs, optional `max_bucket_size`
     cap / exact `salt` straggler mitigations) -> exact hashed-token Jaccard
@@ -1036,7 +1068,8 @@ def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _hashed_tokens(F.col("text")).alias("toks")
     )
-    x = d.select("doc_id", F.explode(_minhash_bands_spark(F.col("toks"))).alias("bb")).select(
+    bands = _minhash_bands_spark(F.col("toks"), n_bands, rows_per_band)
+    x = d.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     cands = _lsh_candidate_pairs(x, max_bucket_size, salt)
@@ -1048,7 +1081,7 @@ def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("jaccard", _r6(jac))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 

@@ -463,3 +463,41 @@ def test_ivf_trained_centroids_deterministic():
     assert len(a) == Q._IVF_CELLS
     for row in a:
         assert math.isclose(sum(v * v for v in row), 1.0, rel_tol=1e-9)
+
+
+def test_text_threshold_matched_banding(spark, tmp_path):
+    """Round 4 (text twin of the embedding banding test): on a corpus where
+    every doc shares a boilerplate block (base Jaccard ~0.33 -> the default
+    4x2 banding makes ~37% of RANDOM pairs candidates), wide 4x4 bands at a
+    production threshold 0.9 must (a) recover every planted J~0.95 pair,
+    (b) emit nothing else, and (c) cut the candidate volume >= 5x. The 4x2
+    default remains the value-oracled configuration."""
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import (
+        q29_minhash_lsh,
+        q34_neardup_lsh_verified,
+    )
+
+    boiler = [f"boiler{j}" for j in range(60)]
+    rows = []
+    for d in range(200):
+        own = [f"d{d}w{j}" for j in range(60)]
+        rows.append({"doc_id": d, "text": " ".join(boiler + own)})
+    for p in range(10):  # planted near-dup: docs 2p/2p+1 differ in 3 tokens
+        base = rows[2 * p]["text"].split()
+        twin = base[:-3] + [f"p{p}x{j}" for j in range(3)]
+        rows[2 * p + 1]["text"] = " ".join(twin)
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(
+        os.path.join(path, "documents.parquet"))
+
+    got = q34_neardup_lsh_verified(
+        spark, path, n_bands=4, rows_per_band=4, threshold=0.9
+    ).toPandas()
+    pairs = {tuple(sorted(p)) for p in zip(got.doc_a, got.doc_b)}
+    assert pairs == {(2 * p, 2 * p + 1) for p in range(10)}
+
+    dense = q29_minhash_lsh(spark, path).count()
+    wide = q29_minhash_lsh(spark, path, n_bands=4, rows_per_band=4).count()
+    assert wide * 5 <= dense, f"wide {wide} vs dense {dense}"
