@@ -76,6 +76,17 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep work dir")
     args = ap.parse_args()
 
+    # The re-upload source index (epoch*n_dups+i) must stay inside epoch-0's
+    # unique-doc range, or late epochs would "re-upload" docs that never
+    # existed and the constant-candidate-volume invariant silently breaks.
+    if args.epochs * args.dups_per_epoch > args.docs_per_epoch - args.dups_per_epoch:
+        ap.error(
+            "epochs*dups_per_epoch must be <= docs_per_epoch - dups_per_epoch "
+            f"({args.epochs}*{args.dups_per_epoch} > "
+            f"{args.docs_per_epoch - args.dups_per_epoch}): re-uploads would "
+            "reference epoch-0 docs that were never ingested"
+        )
+
     work = tempfile.mkdtemp(prefix="stream_store_")
     in_dir = os.path.join(work, "in")
     out_dir = os.path.join(work, "out")

@@ -55,6 +55,6 @@ def oracle_sql() -> dict[str, str]:
         out["q46_ann_ivf_trained"] = _q46_sql(
             os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
         )
-    except Exception:
+    except (FileNotFoundError, OSError):
         pass  # corpus unavailable: the driver records a rows-only check
     return out

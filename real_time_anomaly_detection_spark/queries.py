@@ -2075,8 +2075,10 @@ def q43_winnowing_neardup(spark, sf_dir):
     an O(i) UTF-8 scan (a 0.5 MB doc took ~20 min — slice bytes, not
     chars), and a lambda-indexed slice over an invariant hash-array
     expression re-evaluates the O(L) md5 transform per window (O(L^2)
-    md5s, 490s on 500 docs). hashlib.md5(utf8_bytes) == Spark
-    md5(binary) == the oracle's md5(text) on this all-ASCII corpus.
+    md5s, 490s on 500 docs). Grams are CHARACTER k-grams hashed via their
+    utf-8 encoding — exactly the oracle's md5(substr(text)) — with a
+    zero-copy byte-slice fast path taken when the doc is pure ASCII
+    (byte grams == char grams there).
     The df cap is the same broadcast-semi-join straggler guard as
     _lsh_candidate_pairs' max_bucket_size, ON by default because a
     ubiquitous fingerprint is definitionally boilerplate. The k-gram hash
@@ -2103,14 +2105,31 @@ def q43_winnowing_neardup(spark, sf_dir):
                     # which the fp equi-join drops — emitting nothing is the
                     # same final pair set
                     continue
-                b = text.lower().encode("utf-8")
-                n = max(len(b) - (_WN_K - 1), 1)
-                mv = memoryview(b)
+                s = text.lower()
+                b = s.encode("utf-8")
+                # gram positions are CHARACTER positions (matching the SQL
+                # oracle's substr semantics); on pure-ASCII text byte slices
+                # of the encoding ARE the char-grams' utf-8 encodings, so the
+                # zero-copy memoryview fast path applies. Non-ASCII docs take
+                # the char-slice path: hash the utf-8 encoding of each CHAR
+                # k-gram — identical semantics, no silent divergence
+                # (ADVICE r4).
+                n = max(len(s) - (_WN_K - 1), 1)
                 h = np.empty(n, np.int64)
-                for i in range(n):
-                    h[i] = int(
-                        hashlib.md5(mv[i : i + _WN_K]).hexdigest()[:15], 16
-                    )
+                if len(b) == len(s):
+                    mv = memoryview(b)
+                    for i in range(n):
+                        h[i] = int(
+                            hashlib.md5(mv[i : i + _WN_K]).hexdigest()[:15], 16
+                        )
+                else:
+                    for i in range(n):
+                        h[i] = int(
+                            hashlib.md5(
+                                s[i : i + _WN_K].encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
                 if n >= _WN_W:
                     mins = sliding_window_view(h, _WN_W).min(axis=1)
                 else:

@@ -54,6 +54,7 @@ transform, making the step-2 join co-located as well as pruned.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -202,6 +203,38 @@ def _cross_candidates(old_bands: DataFrame, new_bands: DataFrame,
     )
 
 
+STORE_META_FILE = "store_meta.json"
+
+
+def _check_store_meta(out_dir: str, meta: dict) -> None:
+    """Pin the store-layout parameters (bucket modulus, band geometry,
+    modality) to the store's lifetime: written once when the store is
+    created, validated on every later invocation. A mismatch is a hard
+    error — the caller either passes the stored values or starts a fresh
+    out_dir. (At real scale this marker lives in the Iceberg table's
+    properties; here it is a JSON file beside the stores.)"""
+    path = os.path.join(out_dir, STORE_META_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                "store-layout parameters differ from the values this store "
+                f"was created with: stored {existing}, requested {meta}. "
+                "Changing store_buckets/band geometry/modality invalidates "
+                "the accumulated bands/payload stores (partition pruning and "
+                "band collisions would use the wrong layout, silently "
+                "dropping cross-batch pairs). Re-run with the stored values "
+                "or point out_dir at a fresh location."
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        os.replace(tmp, path)
+
+
 def stream_dedup(
     spark: SparkSession,
     input_path: str,
@@ -225,10 +258,26 @@ def stream_dedup(
     threshold-matched banding (see q42's docstring — the 6x2 default is
     candidate-dense on clustered corpora; a production cosine-0.9 stream
     wants e.g. dict(n_bands=6, planes_per_band=12) with threshold=0.9).
-    NOTE: changing band geometry mid-stream invalidates the accumulated
-    bands_store — pick it at stream creation and keep it for the store's
-    lifetime. Returns the StreamingQuery."""
+    Store-layout parameters (modality, store_buckets, band geometry) are
+    pinned to the store's lifetime via a marker file written on first run
+    and validated on every later run — a mismatched re-invocation raises
+    instead of silently dropping cross-batch pairs. Returns the
+    StreamingQuery."""
     schema, prepare, bands_of, sim_fn, default_thr = _MODALITIES[modality]
+    # Store-layout parameters are baked into the accumulated stores: the
+    # partition IN-filters are computed with store_buckets as the modulus
+    # against partitions WRITTEN with it, and band geometry determines which
+    # (band, bucket) keys ever collide. Re-invoking with different values
+    # against an existing store would silently drop cross-batch pairs — so
+    # they are persisted in a marker on first run and validated ever after.
+    _check_store_meta(
+        out_dir,
+        {
+            "modality": modality,
+            "store_buckets": store_buckets,
+            "band_kwargs": dict(band_kwargs or {}),
+        },
+    )
     if band_kwargs:
         if modality != "embedding":
             raise ValueError("band_kwargs applies to the embedding modality only")

@@ -292,3 +292,25 @@ def test_embedding_stream_threshold_matched_banding(spark, tmp_path):
         spark, all_dir, n_bands=6, planes_per_band=12, threshold=0.9
     ).toPandas()
     assert got == _norm(truth.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"}))
+
+
+def test_store_meta_pins_layout_parameters(spark, tmp_path):
+    """ADVICE r4 (medium): store_buckets (and band geometry / modality) are
+    baked into the accumulated store layout; a later invocation with a
+    different value must raise, not silently drop cross-batch pairs."""
+    import pytest
+
+    src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1)])
+    assert os.path.exists(os.path.join(out, dedup_stream.STORE_META_FILE))
+
+    # same parameters: fine (the normal resume path)
+    spark.createDataFrame(_docs(BATCH2)).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+
+    # different store_buckets against the same store: hard error
+    with pytest.raises(ValueError, match="store-layout parameters differ"):
+        dedup_stream.stream_dedup(spark, src, ckpt, out, store_buckets=8)
+    # different modality against the same store: hard error
+    with pytest.raises(ValueError, match="store-layout parameters differ"):
+        dedup_stream.stream_dedup(spark, src, ckpt, out, modality="embedding")

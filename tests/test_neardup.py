@@ -447,6 +447,42 @@ def test_winnowing_degenerate_docs(spark, tmp_path):
     assert not any(3 in (a, b) or 4 in (a, b) or 5 in (a, b) for a, b, _ in got_set)
 
 
+def test_winnowing_non_ascii_matches_oracle(spark, tmp_path):
+    """ADVICE r4: grams are CHARACTER k-grams (hashed via utf-8 encoding),
+    so multi-byte text must produce the same fingerprints — and pairs — as
+    the SQL oracle's substr-based formulation, not silently diverge on byte
+    offsets. The shared span here is full of 2-byte code points."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import (
+        _Q43_SQL,
+        q43_winnowing_neardup,
+    )
+
+    shared = ("célèbre déjà-vu naïve façade über straße çocuk "
+              "schön très bientôt mañana señor æther øre")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " queue fin", shared + " queue deux",
+                 "plain ascii filler text completely different here"],
+    })
+    path = str(tmp_path / "docs_nonascii")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet"))
+
+    got = q43_winnowing_neardup(spark, path).toPandas()
+    got_set = {(a, b, n) for a, b, n in zip(got.doc_a, got.doc_b, got.n_shared)}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+                % os.path.join(path, "documents.parquet", "*.parquet"))
+    want = con.execute(_Q43_SQL).df()
+    want_set = {(a, b, n) for a, b, n in zip(want.doc_a, want.doc_b, want.n_shared)}
+    assert got_set == want_set
+    assert any(a == 1 and b == 2 for a, b, _ in got_set)
+
+
 def test_ivf_trained_centroids_deterministic():
     """q46's oracle integrity depends on the training being bit-identical
     between the Spark-literal build and the oracle-SQL build (both call

@@ -20,9 +20,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 # q46's oracle embeds trained-centroid literals, so it is generated from the
 # corpus under test — exactly what __spark_entry__.oracle_sql() does for the
-# driver's sf0.01 run.
+# driver's sf0.01 run. Generation is LAZY (inside the test, cached) so a
+# missing/unreadable embeddings corpus fails only the q46 case, not module
+# collection (ADVICE r4).
 ORACLES = dict(_STATIC_ORACLES)
-ORACLES["q46_ann_ivf_trained"] = _q46_sql(SF_DIR)
+_LAZY_ORACLES: dict[str, str] = {}
+
+
+def _oracle_for(name: str) -> str:
+    if name == "q46_ann_ivf_trained":
+        if name not in _LAZY_ORACLES:
+            _LAZY_ORACLES[name] = _q46_sql(SF_DIR)
+        return _LAZY_ORACLES[name]
+    return ORACLES[name]
+
+
+ORACLES["q46_ann_ivf_trained"] = "<lazy>"  # key presence drives parametrize
 
 # Large-scale runs swap q22's all-pairs oracle (O(n^2), 11e9 pairs at sf1's
 # 150k customers) for the grid-prefiltered SQL twin — same result, feasible.
@@ -57,7 +70,7 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
-    duck_pdf = ddb.sql(ORACLES[name]).df()
+    duck_pdf = ddb.sql(_oracle_for(name)).df()
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
