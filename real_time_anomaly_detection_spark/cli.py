@@ -167,14 +167,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="hash-bucket partition count for the state stores "
                         "(file pruning granularity)")
     p.add_argument("--n-bands", type=int,
-                   help="embedding modality: LSH band count (default 6); "
-                        "pick ONCE per store — changing geometry mid-stream "
-                        "invalidates the accumulated bands_store")
+                   help="LSH band count (default: derived from --threshold "
+                        "so the S-curve midpoint matches it); pinned to the "
+                        "store on first run — a mismatched re-run errors")
+    p.add_argument("--rows-per-band", type=int,
+                   help="text modality: minhash rows per band (default: "
+                        "derived from --threshold)")
     p.add_argument("--planes-per-band", type=int,
-                   help="embedding modality: hyperplanes per band (default "
-                        "2). The default is candidate-dense on clustered "
-                        "corpora; a production cosine-0.9 stream wants e.g. "
-                        "--planes-per-band 12 --threshold 0.9")
+                   help="embedding modality: hyperplanes per band (default: "
+                        "derived from --threshold)")
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
@@ -254,6 +255,7 @@ def main(argv: list[str] | None = None) -> None:
         band_kwargs = {
             k: v
             for k, v in (("n_bands", args.n_bands),
+                         ("rows_per_band", args.rows_per_band),
                          ("planes_per_band", args.planes_per_band))
             if v is not None
         } or None

@@ -868,6 +868,54 @@ def _hashed_tokens(text_col):
     )
 
 
+def _cosine_row_prob(s: float) -> float:
+    """Per-hyperplane collision probability of a pair at cosine s:
+    1 - acos(s)/pi (the random-hyperplane LSH identity)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, s))) / math.pi
+
+
+def _banding_for(threshold: float, per_row_prob=None,
+                 band_budget: int = 8, max_rows: int = 32) -> tuple[int, int]:
+    """(n_bands, rows_per_band) whose banded-LSH S-curve midpoint sits at
+    `threshold` — the scale-safe DEFAULT derivation for every LSH entry
+    point (VERDICT r4 #1: the sf1 pass proved a geometry mismatched to the
+    threshold is a scale-killer — 0.82 random-pair collision at 6x2 planes,
+    and recall ZERO once the bucket cap bites).
+
+    The S-curve for b bands of r rows crosses 1/2 near s* = (1/b)^(1/r)
+    (in PER-ROW collision probability space). Solving under a band budget:
+    r = floor(ln(band_budget) / ln(1/t')), b = round((1/t')^r), with
+    t' = per_row_prob(threshold) (identity for minhash/Jaccard;
+    1 - acos(s)/pi for sign-plane cosine). Larger budgets buy a sharper
+    curve at the cost of proportionally more hashes/planes; 8 keeps the
+    derived configs in the range the round-4 planted-corpus measurements
+    validated (cosine 0.9 -> 7x13 vs the hand-tuned 6x12; Jaccard 0.9 ->
+    6x19 vs datasketch's 128-perm default)."""
+    import math
+
+    t = per_row_prob(threshold) if per_row_prob else threshold
+    t = min(max(t, 0.05), 0.99)
+    r = max(1, min(max_rows, math.floor(math.log(band_budget) / math.log(1.0 / t))))
+    b = max(1, min(band_budget, round((1.0 / t) ** r)))
+    return b, r
+
+
+def _resolve_banding(n_bands, rows_per_band, threshold, per_row_prob=None):
+    """Either both banding knobs explicitly, or neither (threshold-derived).
+    A half-specified geometry is rejected rather than silently mixed with a
+    default."""
+    if n_bands is None and rows_per_band is None:
+        return _banding_for(threshold, per_row_prob)
+    if n_bands is None or rows_per_band is None:
+        raise ValueError(
+            "pass BOTH banding knobs or neither (neither = derived from "
+            f"threshold); got n_bands={n_bands}, rows/planes={rows_per_band}"
+        )
+    return n_bands, rows_per_band
+
+
 def _mh_constants(n: int) -> list[tuple[int, int]]:
     """n universal-hash (a, b) pairs. The first 8 are the literal
     oracle-pinned constants; extras (wide-band configs) come from a seeded
@@ -1024,18 +1072,26 @@ def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
 
 
 def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None,
-                    n_bands: int = _MH_BANDS, rows_per_band: int = 2):
-    """MinHash-LSH near-dup candidates: 8 minhash fns -> 4 bands of 2 ->
+                    n_bands: int | None = None, rows_per_band: int | None = None,
+                    threshold: float = 0.5):
+    """MinHash-LSH near-dup candidates: minhash fns -> banded buckets ->
     ONE explode to (doc_id, band, bucket) -> ONE self-join on (band, bucket)
     -> distinct pairs. At scale this replaces q26's all-pairs join: the
     shuffle key is (band, bucket) so only colliding docs ever meet, and the
     bands table shuffles once (round 1 shuffled it 4x via per-band joins).
+
+    Banding DEFAULTS to the threshold-matched derivation (`_banding_for`:
+    S-curve midpoint ~ `threshold`), so a caller who states only their
+    similarity regime gets a scale-safe geometry; the QUERIES registry pins
+    the oracle's explicit 4x2 configuration. `threshold` here only drives
+    the derivation — q29 emits CANDIDATES, no verify filter.
 
     Skew note: this synthetic corpus is degenerate (tiny vocabulary, ~73% of
     all pairs are true near-dups), so a few giant buckets emit most pairs
     from single join tasks. The standard mitigation is `max_bucket_size`
     (see `_lsh_candidate_pairs`); it defaults OFF here because the
     oracle-checked recall target depends on those buckets on this corpus."""
+    n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
     d = load(spark, sf_dir, "documents")
     htoks = _hashed_tokens(F.col("text"))
     bands = _minhash_bands_spark(htoks, n_bands, rows_per_band)
@@ -1055,16 +1111,22 @@ WHERE a.doc_id < b.doc_id
 
 def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
                              salt: int | None = None,
-                             n_bands: int = _MH_BANDS, rows_per_band: int = 2,
+                             n_bands: int | None = None,
+                             rows_per_band: int | None = None,
                              threshold: float = 0.5):
     """The canonical near-dup pipeline at scale: LSH candidate generation
     (q29's bucketed self-join — never all-pairs, optional `max_bucket_size`
     cap / exact `salt` straggler mitigations) -> exact hashed-token Jaccard
-    >= 0.5 verification (q26's arithmetic over 60-bit token hashes — long
-    arrays intersect ~1.5x faster than string arrays and the Jaccard is
+    >= `threshold` verification (q26's arithmetic over 60-bit token hashes —
+    long arrays intersect ~1.5x faster than string arrays and the Jaccard is
     identical barring 60-bit collisions) on candidates only. Composition the
     round-1 review asked for: q26's O(n^2) cross join is now just the
-    small-data oracle twin."""
+    small-data oracle twin.
+
+    Banding DEFAULTS to the threshold-matched derivation (`_banding_for`),
+    so the verify threshold and the candidate geometry agree by
+    construction; the QUERIES registry pins the oracle's explicit 4x2."""
+    n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _hashed_tokens(F.col("text")).alias("toks")
     )
@@ -1346,8 +1408,8 @@ def _nd_bands_expr(emb_col: str, n_bands: int = _ND_BANDS,
 
 def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
                               salt: int | None = None,
-                              n_bands: int = _ND_BANDS,
-                              planes_per_band: int = _ND_PLANES_PER_BAND,
+                              n_bands: int | None = None,
+                              planes_per_band: int | None = None,
                               threshold: float = 0.45):
     """The canonical embedding near-dup pipeline at scale (q34's analog for
     vectors, closing round 2's last all-pairs hole): banded cosine-LSH
@@ -1367,9 +1429,13 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     oracle twin has no cap.
 
     `n_bands`/`planes_per_band`/`threshold` tune the LSH to the corpus and
-    similarity regime. THE DEFAULTS DO NOT SCALE and exist for the oracle:
-    2-plane bands collide for a RANDOM pair with prob 1-(1-0.25)^6 = 0.82,
-    so candidate volume approaches all-pairs as n grows (measured: 165M of
+    similarity regime. Banding DEFAULTS to the threshold-matched derivation
+    (`_banding_for` with the hyperplane collision map 1-acos(s)/pi), so the
+    bare call is scale-safe at whatever threshold the caller states. The
+    QUERIES registry pins the oracle's explicit DENSE 6x2 geometry, kept
+    because it is what the value oracle audits — it does NOT scale: 2-plane
+    bands collide for a RANDOM pair with prob 1-(1-0.25)^6 = 0.82, so
+    candidate volume approaches all-pairs as n grows (measured: 165M of
     200M possible pairs at 20k clustered vectors, sf1) — the 0.45 threshold
     this corpus demands (its max cosine is ~0.51) is simply not a
     bandable regime. At a production near-dup threshold the geometry works:
@@ -1379,6 +1445,9 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     The hot-bucket cap is NOT a fix for mis-matched banding: capped at 200
     on the dense configuration every planted pair drowned in an over-cap
     bucket and recall went to ZERO (measured)."""
+    n_bands, planes_per_band = _resolve_banding(
+        n_bands, planes_per_band, threshold, _cosine_row_prob
+    )
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
@@ -2274,6 +2343,21 @@ FROM s GROUP BY split
 """
 
 
+def _pin_kwargs(fn, **kw):
+    """Registry wrapper fixing keyword arguments. The LSH queries' bare
+    defaults derive scale-safe banding from the threshold (`_banding_for`);
+    the value-oracle entries below pin the explicit geometries the static
+    DuckDB SQL encodes (q29/q34: 4x2 minhash bands; q42: the dense 6x2
+    plane bands), so CORRECTNESS audits a fixed config while library users
+    get the derived one."""
+    def wrapped(spark, sf_dir):
+        return fn(spark, sf_dir, **kw)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_window_scan": q02_window_scan,
@@ -2303,9 +2387,11 @@ QUERIES = {
     "q26_ngram_jaccard": q26_ngram_jaccard,
     "q27_embedding_topk": q27_embedding_topk,
     "q28_embedding_label_stats": q28_embedding_label_stats,
-    "q29_minhash_lsh": q29_minhash_lsh,
+    "q29_minhash_lsh": _pin_kwargs(q29_minhash_lsh, n_bands=_MH_BANDS, rows_per_band=2),
     "q31_psi_drift": q31_psi_drift,
-    "q34_neardup_lsh_verified": q34_neardup_lsh_verified,
+    "q34_neardup_lsh_verified": _pin_kwargs(
+        q34_neardup_lsh_verified, n_bands=_MH_BANDS, rows_per_band=2
+    ),
     "q35_geojson_shred": q35_geojson_shred,
     "q36_interval_window": q36_interval_window,
     "q37_ann_lsh_topk": q37_ann_lsh_topk,
@@ -2313,7 +2399,10 @@ QUERIES = {
     "q39_embedding_neardup": q39_embedding_neardup,
     "q40_simhash_hamming": q40_simhash_hamming,
     "q41_bpe_tokens": q41_bpe_tokens,
-    "q42_embedding_neardup_lsh": q42_embedding_neardup_lsh,
+    "q42_embedding_neardup_lsh": _pin_kwargs(
+        q42_embedding_neardup_lsh, n_bands=_ND_BANDS,
+        planes_per_band=_ND_PLANES_PER_BAND
+    ),
     "q43_winnowing_neardup": q43_winnowing_neardup,
     "q44_ann_ivf_topk": q44_ann_ivf_topk,
     "q45_hash_split": q45_hash_split,

@@ -61,10 +61,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import (
+    _cosine_row_prob,
     _hashed_tokens,
     _lsh_candidate_pairs,
     _minhash_bands_spark,
     _nd_bands_expr,
+    _resolve_banding,
 )
 
 DOCS_SCHEMA = "doc_id long, text string"
@@ -81,10 +83,12 @@ def _text_prepare(batch: DataFrame) -> DataFrame:
     return batch.select("doc_id", _hashed_tokens(F.col("text")).alias("payload"))
 
 
-def _text_bands(batch: DataFrame) -> DataFrame:
+def _text_bands(batch: DataFrame, n_bands: int = 4,
+                rows_per_band: int = 2) -> DataFrame:
     htoks = _hashed_tokens(F.col("text"))
     return batch.select(
-        "doc_id", F.explode(_minhash_bands_spark(htoks)).alias("bb")
+        "doc_id",
+        F.explode(_minhash_bands_spark(htoks, n_bands, rows_per_band)).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -99,20 +103,18 @@ def _emb_prepare(batch: DataFrame) -> DataFrame:
     )
 
 
-def _emb_bands(batch: DataFrame, n_bands: int | None = None,
-               planes_per_band: int | None = None) -> DataFrame:
-    """Banding must be threshold-matched at scale (see q42's docstring: the
-    default 6x2 configuration is candidate-dense for any sizeable clustered
-    corpus); `stream_dedup(band_kwargs=...)` threads the knobs here."""
-    kw = {}
-    if n_bands is not None:
-        kw["n_bands"] = n_bands
-    if planes_per_band is not None:
-        kw["planes_per_band"] = planes_per_band
+def _emb_bands(batch: DataFrame, n_bands: int = 6,
+               planes_per_band: int = 2) -> DataFrame:
+    """Banding must be threshold-matched at scale (see q42's docstring: a
+    geometry mismatched to the threshold is candidate-dense for any sizeable
+    clustered corpus); `stream_dedup` resolves the geometry from the
+    threshold by default and threads explicit `band_kwargs` here."""
     emb = F.transform("embedding", lambda x: x.cast("double"))
     return batch.select(
         "doc_id", emb.alias("_e")
-    ).select("doc_id", F.explode(_nd_bands_expr("_e", **kw)).alias("bb")).select(
+    ).select(
+        "doc_id", F.explode(_nd_bands_expr("_e", n_bands, planes_per_band)).alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -129,9 +131,14 @@ def _cosine(ca: str, cb: str):
     return dot / (norm(ca) * norm(cb))
 
 
+# (schema, prepare, bands_fn, sim_fn, default_threshold, per_row_prob,
+#  rows-knob name) — per_row_prob feeds the threshold->banding derivation
+# (identity for Jaccard, the hyperplane map for cosine).
 _MODALITIES = {
-    "text": (DOCS_SCHEMA, _text_prepare, _text_bands, _jaccard, JACCARD_THRESHOLD),
-    "embedding": (EMB_SCHEMA, _emb_prepare, _emb_bands, _cosine, COSINE_THRESHOLD),
+    "text": (DOCS_SCHEMA, _text_prepare, _text_bands, _jaccard,
+             JACCARD_THRESHOLD, None, "rows_per_band"),
+    "embedding": (EMB_SCHEMA, _emb_prepare, _emb_bands, _cosine,
+                  COSINE_THRESHOLD, _cosine_row_prob, "planes_per_band"),
 }
 
 
@@ -254,36 +261,47 @@ def stream_dedup(
     previously-seen (or lower-id within-batch) item, `doc_b` the new one.
     `max_bucket_size`/`salt` are the hot-bucket mitigations from the batch
     pipelines, applied to both the within-batch and store joins.
-    `band_kwargs` (embedding modality): n_bands/planes_per_band for
-    threshold-matched banding (see q42's docstring — the 6x2 default is
-    candidate-dense on clustered corpora; a production cosine-0.9 stream
-    wants e.g. dict(n_bands=6, planes_per_band=12) with threshold=0.9).
+    Band geometry DEFAULTS to the threshold-matched derivation
+    (queries._banding_for) for both modalities; `band_kwargs` overrides it
+    explicitly (text: n_bands/rows_per_band; embedding:
+    n_bands/planes_per_band — e.g. the round-4 hand-tuned
+    dict(n_bands=6, planes_per_band=12) at threshold=0.9).
     Store-layout parameters (modality, store_buckets, band geometry) are
     pinned to the store's lifetime via a marker file written on first run
     and validated on every later run — a mismatched re-invocation raises
     instead of silently dropping cross-batch pairs. Returns the
     StreamingQuery."""
-    schema, prepare, bands_of, sim_fn, default_thr = _MODALITIES[modality]
+    (schema, prepare, bands_fn, sim_fn, default_thr,
+     row_prob, rows_key) = _MODALITIES[modality]
+    threshold = default_thr if threshold is None else threshold
+    # Resolve the band geometry ONCE, before anything touches the store:
+    # explicit band_kwargs win; otherwise it is derived from the threshold
+    # (queries._banding_for — the scale-safe default, VERDICT r4 #1).
+    kw = dict(band_kwargs or {})
+    unknown = set(kw) - {"n_bands", rows_key}
+    if unknown:
+        raise ValueError(f"unknown band_kwargs for {modality}: {sorted(unknown)}")
+    nb, rows = _resolve_banding(
+        kw.get("n_bands"), kw.get(rows_key), threshold, row_prob
+    )
+    banding = {"n_bands": nb, rows_key: rows}
+    bands_of = lambda b: bands_fn(b, nb, rows)  # noqa: E731
     # Store-layout parameters are baked into the accumulated stores: the
     # partition IN-filters are computed with store_buckets as the modulus
-    # against partitions WRITTEN with it, and band geometry determines which
-    # (band, bucket) keys ever collide. Re-invoking with different values
-    # against an existing store would silently drop cross-batch pairs — so
-    # they are persisted in a marker on first run and validated ever after.
+    # against partitions WRITTEN with it, and the band geometry determines
+    # which (band, bucket) keys ever collide. Re-invoking with different
+    # values against an existing store would silently drop cross-batch pairs
+    # — so the RESOLVED values are persisted in a marker on first run and
+    # validated ever after (a threshold change that re-derives a different
+    # geometry trips the same guard).
     _check_store_meta(
         out_dir,
         {
             "modality": modality,
             "store_buckets": store_buckets,
-            "band_kwargs": dict(band_kwargs or {}),
+            "banding": banding,
         },
     )
-    if band_kwargs:
-        if modality != "embedding":
-            raise ValueError("band_kwargs applies to the embedding modality only")
-        _inner = bands_of
-        bands_of = lambda b: _inner(b, **band_kwargs)  # noqa: E731
-    threshold = default_thr if threshold is None else threshold
     bands_store = os.path.join(out_dir, "bands_store")
     payload_store = os.path.join(out_dir, "payload_store")
     pairs_out = os.path.join(out_dir, "pairs")
