@@ -1008,9 +1008,15 @@ bands AS ({band_rows})
 
 
 def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
-                         salt: int | None = None):
+                         salt: int | None = None,
+                         carry: tuple[str, ...] = ()):
     """Distinct (doc_a, doc_b) candidate pairs from a (doc_id, band, bucket)
-    table via ONE self-join on (band, bucket).
+    table via ONE self-join on (band, bucket). `carry` names extra per-doc
+    columns of `x` to propagate onto the pairs as <col>_a/<col>_b — they
+    ride the already-tiny band rows (e.g. a token-array SIZE for the exact
+    Jaccard prefilter), so downstream filters can drop pairs BEFORE any
+    wide payload join; being functionally determined by doc_id they leave
+    the distinct pair set unchanged.
 
     Two independent straggler mitigations for hot buckets (a bucket of size m
     emits m(m-1)/2 pairs from ONE join task):
@@ -1066,7 +1072,12 @@ def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
         joined = x.repartition(par).alias("a").join(x.alias("b"), ["band", "bucket"])
     return (
         joined.filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
         .distinct()
     )
 
@@ -1131,10 +1142,25 @@ def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
         "doc_id", _hashed_tokens(F.col("text")).alias("toks")
     )
     bands = _minhash_bands_spark(F.col("toks"), n_bands, rows_per_band)
-    x = d.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    x = d.select("doc_id", F.size("toks").alias("sz"), F.explode(bands).alias("bb")).select(
+        "doc_id", "sz",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
-    cands = _lsh_candidate_pairs(x, max_bucket_size, salt)
+    # Exact size-ratio prefilter (VERDICT r4 #2): J(A,B) <= min|A|,|B| /
+    # max|A|,|B| (intersection <= min, union >= max), so J >= t implies the
+    # size ratio >= t. Sizes are 8-byte ints carried on the band rows — the
+    # filter runs BEFORE the two wide token-array joins, skipping the array
+    # shuffle for every size-incompatible pair at zero recall loss. The 1e-6
+    # slack covers the final filter being on the ROUNDED jaccard (a true J
+    # up to half a rounding step below t can still pass it).
+    cands = (
+        _lsh_candidate_pairs(x, max_bucket_size, salt, carry=("sz",))
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= (threshold - 1e-6) * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b")
+    )
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     n_common = F.size(F.array_intersect("ta", "tb"))

@@ -153,9 +153,28 @@ def _pbucket(col: str, n: int):
 
 
 def _verify(cands: DataFrame, pay_a: DataFrame, pay_b: DataFrame,
-            sim_fn, threshold: float) -> DataFrame:
+            sim_fn, threshold: float,
+            size_prefilter: bool = False) -> DataFrame:
     pa = pay_a.select(F.col("doc_id").alias("doc_a"), F.col("payload").alias("pa"))
     pb = pay_b.select(F.col("doc_id").alias("doc_b"), F.col("payload").alias("pb"))
+    if size_prefilter:
+        # Exact Jaccard size bound (J <= min-size/max-size): drop
+        # size-incompatible candidate pairs on 8-byte size columns BEFORE
+        # the wide token-array rows shuffle into the verify joins. Only
+        # valid for set-overlap similarities (text modality); cosine is
+        # scale-invariant so sizes bound nothing there. Slack matches the
+        # batch pipeline (rounded-similarity final filter).
+        sa = pa.select("doc_a", F.size("pa").alias("_sza"))
+        sb = pb.select("doc_b", F.size("pb").alias("_szb"))
+        cands = (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(
+                F.least("_sza", "_szb")
+                >= (threshold - 1e-6) * F.greatest("_sza", "_szb")
+            )
+            .select("doc_a", "doc_b")
+        )
     return (
         cands.join(pa, "doc_a")
         .join(pb, "doc_b")
@@ -317,7 +336,8 @@ def stream_dedup(
         # within-batch pairs: the batch helper verbatim (bucketed self-join,
         # ordered doc_a < doc_b, probe repartition + cap/salt knobs)
         within = _lsh_candidate_pairs(new_bands, max_bucket_size, salt)
-        pairs = _verify(within, new_pay, new_pay, sim_fn, threshold)
+        pairs = _verify(within, new_pay, new_pay, sim_fn, threshold,
+                        size_prefilter=(modality == "text"))
 
         # cross-batch pairs: new items vs the accumulated store. 'Store
         # absent' is a filesystem probe on BOTH stores, NOT a caught read
@@ -367,7 +387,8 @@ def stream_dedup(
                 .select("doc_id", "payload")
             )
             pairs = pairs.unionByName(
-                _verify(cross, old_pay, new_pay, sim_fn, threshold)
+                _verify(cross, old_pay, new_pay, sim_fn, threshold,
+                        size_prefilter=(modality == "text"))
             )
 
         # one row per unordered pair: a doc re-ingested alongside its twin

@@ -653,3 +653,40 @@ def test_default_banding_is_scale_safe_at_production_threshold(spark, tmp_path):
 
     # the derived geometry for cosine-0.9 is in the validated band/row range
     assert _banding_for(0.9, _cosine_row_prob) == (7, 13)
+
+
+def test_size_prefilter_keeps_pair_set_exact(spark, tmp_path):
+    """VERDICT r4 #2: the size-ratio prefilter (J <= min/max sizes) must be
+    invisible in the result — identical pair set as the oracle on a corpus
+    engineered so many LSH candidates are size-INCOMPATIBLE (a shared
+    boilerplate token block forces collisions between docs whose sizes
+    differ by >2x, which the prefilter drops before the array join)."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import _Q34_SQL, QUERIES
+
+    boiler = " ".join(f"common{j}" for j in range(30))
+    rows = []
+    for i in range(60):
+        # sizes 31..90 tokens: every doc shares the 30-token boilerplate, so
+        # minhash buckets collide across wildly different sizes
+        extra = " ".join(f"d{i}x{j}" for j in range(1 + i))
+        rows.append((i, boiler + " " + extra))
+    # two genuine near-dup twins (ratio compatible)
+    rows.append((100, boiler + " twin alpha beta"))
+    rows.append((101, boiler + " twin alpha gamma"))
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]),
+                          "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet"))
+
+    got = QUERIES["q34_neardup_lsh_verified"](spark, path).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+                % os.path.join(path, "documents.parquet", "*.parquet"))
+    want = con.execute(_Q34_SQL).df()
+    gs = {(a, b, j) for a, b, j in zip(got.doc_a, got.doc_b, got.jaccard)}
+    ws = {(a, b, j) for a, b, j in zip(want.doc_a, want.doc_b, want.jaccard)}
+    assert gs == ws
+    assert any(a == 100 and b == 101 for a, b, _ in gs)
