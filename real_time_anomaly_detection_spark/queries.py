@@ -1855,11 +1855,13 @@ _SH_BAND_BITS = _SH_BITS // _SH_BANDS  # 15
 _SH_HAM_MAX = _SH_BANDS - 1  # pigeonhole-exact verify threshold
 
 
-def _simhash60(d):
-    """(doc_id, fp) with a 60-bit md5-portable simhash, computed as
-    explode -> per-(doc, token) hash -> ONE hash-agg with 60 signed-vote sums
-    (map-side partial agg, whole-stage codegen, md5 evaluated once per token —
-    the HOF-fold formulation re-evaluated the token hash per bit)."""
+def _simhash60_agg(d):
+    """(doc_id, fp) via the Catalyst formulation: explode -> per-(doc, token)
+    hash -> ONE hash-agg with 60 signed-vote sums (map-side partial agg,
+    whole-stage codegen, md5 evaluated once per token — the HOF-fold
+    formulation re-evaluated the token hash per bit). Kept as the
+    equivalence reference for the scan-local `_simhash60`; the 60-branch
+    CASE tree per token row was q40's residual cost (11.1s at sf1)."""
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("t")
     ).select(
@@ -1880,6 +1882,66 @@ def _simhash60(d):
         bit_val = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit_val if fp is None else fp + bit_val
     return votes.select("doc_id", fp.cast("long").alias("fp"))
+
+
+def _simhash60(d):
+    """(doc_id, fp) with a 60-bit md5-portable simhash, computed SCAN-LOCALLY
+    by an Arrow-batched mapInPandas (VERDICT r4 #4, the q43 pattern): per
+    document, hash each distinct token once (hashlib.md5 at C speed, with a
+    per-batch token->hash cache — the corpus vocabulary repeats heavily),
+    then one numpy bit-matrix vote ((n_tok x 60) signs summed down the
+    columns). No token explode, no shuffle of token rows, no 60-branch CASE
+    tree per token: the first shuffle in the plan is the banded pair join
+    over ONE row per doc. Token semantics match the Catalyst/DuckDB twin:
+    ASCII \\s+ split (Java/RE2 semantics via re.ASCII), distinct, md5 of the
+    utf-8 bytes, leading/trailing empty tokens preserved exactly as
+    Java split(-1) does."""
+    import pandas as pd  # local import: queries.py is otherwise JVM-only
+
+    par = d.sparkSession.sparkContext.defaultParallelism * 2
+
+    def simhash_batches(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"\s+", re.ASCII)
+        cache: dict[str, int] = {}
+
+        def h60(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                cache[tok] = v
+            return v
+
+        bits = np.arange(_SH_BITS, dtype=np.int64)
+        weights = (np.int64(1) << bits)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # agg formulation yields no row for null text
+                hs = np.fromiter(
+                    (h60(t) for t in set(ws.split(text))),
+                    dtype=np.int64,
+                )
+                votes = (
+                    ((hs[:, None] >> bits[None, :]) & 1) * 2 - 1
+                ).sum(axis=0)
+                ids.append(doc_id)
+                fps.append(int(weights[votes > 0].sum()))
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "fp": pd.array(fps, dtype="int64")}
+            )
+
+    return (
+        d.select("doc_id", "text")
+        .repartition(par)  # single-file sources must not serialize the UDF
+        .mapInPandas(simhash_batches, schema="doc_id long, fp long")
+    )
 
 
 def q40_simhash_hamming(spark, sf_dir):
