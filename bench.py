@@ -17,6 +17,18 @@ Env knobs:
                       their answer to scale is "use the LSH path" (q34/q42),
                       so they stay in CORRECTNESS but out of the default
                       bench; pass them explicitly to time them)
+  BENCH_NEARDUP_DIR   corpus dir for the near-dup family (q29/q34/q40/q42/
+                      q43). Default: a controlled-density synthetic corpus
+                      (20k docs / 8k vectors, ~1% near-dup rate, generated
+                      once into .cache/neardup_bench by tools/make_sf1's
+                      synthesizers). The sf0.1 test corpus is DEGENERATE
+                      (~49% of all pairs are LSH candidates, ~84% verify),
+                      so near-dup walls there measure verify-stage memory
+                      bandwidth, not the candidate-generation design
+                      (VERDICT r4 #3); set BENCH_NEARDUP_DIR to the sf dir
+                      to reproduce the old behavior. CORRECTNESS still runs
+                      the degenerate corpus.
+  BENCH_RUNS          timed repetitions for the envelope queries (default 3)
 """
 
 from __future__ import annotations
@@ -35,6 +47,53 @@ from real_time_anomaly_detection_spark.session import get_spark  # noqa: E402
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
+# near-dup family: benched on the controlled-density corpus by default, in
+# the PRODUCTION configuration (threshold-derived banding) rather than the
+# oracle-pinned registry geometry — the registry pins q42 to the dense 6x2
+# planes the static DuckDB oracle encodes, which is the documented
+# scale-killer on any clustered corpus (measured 19.8s vs 1.4s here) and is
+# not what a user at scale would run. q42 benches at threshold 0.9, the
+# similarity regime of the corpus's planted pairs (cosine ~0.95).
+from real_time_anomaly_detection_spark.queries import (  # noqa: E402
+    q29_minhash_lsh,
+    q34_neardup_lsh_verified,
+    q42_embedding_neardup_lsh,
+)
+
+NEARDUP_BENCH_FNS = {
+    "q29_minhash_lsh": q29_minhash_lsh,                      # derived @ 0.5
+    "q34_neardup_lsh_verified": q34_neardup_lsh_verified,    # derived @ 0.5
+    "q42_embedding_neardup_lsh": (
+        lambda s, d: q42_embedding_neardup_lsh(s, d, threshold=0.9)
+    ),
+}
+NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
+    "q40_simhash_hamming",
+    "q43_winnowing_neardup",
+}
+NEARDUP_DOCS = 20_000
+NEARDUP_VECS = 8_000
+
+
+def neardup_corpus_dir() -> str:
+    """Build (once, cached) the realistic-density near-dup bench corpus:
+    tools/make_sf1's synthesizers at 20k docs / 8k vectors, ~1% planted
+    near-dup rate, deterministic. No Spark needed — pure pyarrow."""
+    env = os.environ.get("BENCH_NEARDUP_DIR")
+    if env:
+        return env
+    path = os.path.join(CACHE_DIR, f"neardup_bench_{NEARDUP_DOCS}_{NEARDUP_VECS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import make_sf1
+
+        os.makedirs(path, exist_ok=True)
+        make_sf1.make_documents(path, n_docs=NEARDUP_DOCS)
+        make_sf1.make_embeddings(path, n_vecs=NEARDUP_VECS)
+        open(marker, "w").close()
+    return path
+
 
 def _force(df) -> int:
     """Fully evaluate a DataFrame without driver transfer (noop sink)."""
@@ -43,10 +102,13 @@ def _force(df) -> int:
 
 
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    nd_dir = neardup_corpus_dir() if any(n in NEARDUP_QUERIES for n in names) else None
     out = {}
     for name in names:
+        src = nd_dir if name in NEARDUP_QUERIES else sf_dir
+        fn = NEARDUP_BENCH_FNS.get(name, QUERIES[name])
         t0 = time.perf_counter()
-        _force(QUERIES[name](spark, sf_dir))
+        _force(fn(spark, src))
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
@@ -95,13 +157,13 @@ def bench_validation(spark, n_clips: int) -> tuple[float, int]:
     # this is the recorded headline metric — de-noise it. Cache cleared +
     # driver GC before every run so each re-executes the full job.
     times = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         t0 = time.perf_counter()
         run_once(cfg, clips, refs)
         times.append(time.perf_counter() - t0)
-    return sorted(times)[1], n_rows
+    return sorted(times), n_rows
 
 
 def main() -> None:
@@ -125,9 +187,40 @@ def main() -> None:
         .mapInPandas(lambda it: it, schema="id long")
     )
 
+    load_start = os.getloadavg()[0]
     qtimes = bench_queries(spark, sf_dir, names)
-    vsec, vrows = bench_validation(spark, n_clips)
+
+    # Variance envelope (VERDICT r4 #5): single-run numbers on this shared
+    # VM swing +/-15-30%, so the headline clips_validate and the most
+    # expensive queries are re-run BENCH_RUNS times and reported as
+    # median + min/max — round-over-round comparison becomes mechanical
+    # instead of chasing phantom swings between single draws.
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    envelope: dict[str, dict] = {}
+    nd_dir = neardup_corpus_dir() if any(n in NEARDUP_QUERIES for n in names) else None
+    top5 = sorted(qtimes, key=qtimes.get, reverse=True)[:5]
+    for name in top5:
+        runs = [qtimes[name]]
+        src = nd_dir if name in NEARDUP_QUERIES else sf_dir
+        fn = NEARDUP_BENCH_FNS.get(name, QUERIES[name])
+        for _ in range(n_runs - 1):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            _force(fn(spark, src))
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs.sort()
+        qtimes[name] = runs[len(runs) // 2]
+        envelope[name] = {"median": runs[len(runs) // 2], "min": runs[0],
+                          "max": runs[-1], "runs": len(runs)}
+
+    vtimes, vrows = bench_validation(spark, n_clips)
+    vsec = vtimes[len(vtimes) // 2]
     qtimes["clips_validate"] = round(vsec, 3)
+    envelope["clips_validate"] = {
+        "median": round(vsec, 3), "min": round(vtimes[0], 3),
+        "max": round(vtimes[-1], 3), "runs": len(vtimes),
+    }
 
     total = round(sum(qtimes.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -141,8 +234,22 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extra": {
                     "validated_clips_per_sec": round(vrows / vsec, 1),
+                    "validated_clips_per_sec_envelope": [
+                        round(vrows / vtimes[-1], 1), round(vrows / vtimes[0], 1)
+                    ],
                     "n_clips": vrows,
                     "cpus": cpus,
+                    "envelope": envelope,
+                    "loadavg": [round(load_start, 2),
+                                round(os.getloadavg()[0], 2)],
+                    "neardup_corpus": (
+                        os.environ.get("BENCH_NEARDUP_DIR")
+                        or f"controlled-density {NEARDUP_DOCS} docs / "
+                           f"{NEARDUP_VECS} vecs (~1% near-dup)"
+                    ),
+                    "neardup_config": "threshold-derived banding "
+                                      "(q29/q34 @0.5, q42 @0.9); registry "
+                                      "oracle geometry not benched",
                     "scaling_evidence_file": "BENCH/BASELINE.md",
                 },
             }

@@ -978,6 +978,105 @@ def _minhash_bands_spark(htoks, n_bands: int = _MH_BANDS, rows_per_band: int = 2
     return F.element_at(F.transform(F.array(htoks), _bands_from), 1)
 
 
+def _mh_bands_rows(d, n_bands: int, rows_per_band: int,
+                   with_size: bool = False):
+    """(doc_id, [sz,] band, bucket) rows from a documents (doc_id, text)
+    relation, choosing the implementation by geometry width (the q42/
+    `_nd_bands_rows` doctrine):
+
+    - <= 8 hash functions (the oracle-pinned 4x2): Catalyst
+      `_minhash_bands_spark` — codegen, byte-identical to the DuckDB twin;
+    - wider (every threshold-derived production config, e.g. 8x3 at 0.5,
+      7x19 at 0.9): ONE scan-local mapInPandas — md5 per distinct token at
+      C speed (per-batch cache) and the whole (n_fns x n_tok) universal-
+      hash min as one numpy mod-mul pass; the Catalyst HOF transform is
+      interpreted per element and re-runs per hash function (measured
+      8.9s for 24 fns over 20k docs where numpy is <2s). Products fit
+      int64 exactly: (h%P) < 2^30 and a < 2^30, so (h%P)*a+b < 2^60.
+
+    Bucket encoding on the wide path is an FNV-1a fold of the band's
+    minhash values — NOT Spark's xxhash64 — which is fine because buckets
+    are opaque join keys: every caller at a given geometry takes the same
+    path, so candidate PAIRS are invariant. `with_size` adds sz =
+    len(distinct tokens), the carry column for the exact Jaccard size
+    prefilter."""
+    if n_bands * rows_per_band <= 8:
+        htoks = _hashed_tokens(F.col("text"))
+        bands = _minhash_bands_spark(htoks, n_bands, rows_per_band)
+        cols = [F.size(_hashed_tokens(F.col("text"))).alias("sz")] if with_size else []
+        return d.select("doc_id", *cols, F.explode(bands).alias("bb")).select(
+            "doc_id", *(["sz"] if with_size else []),
+            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        )
+
+    import pandas as pd
+
+    consts = _mh_constants(n_bands * rows_per_band)
+    par = d.sparkSession.sparkContext.defaultParallelism * 2
+    schema = ("doc_id long, sz int, band int, bucket long" if with_size
+              else "doc_id long, band int, bucket long")
+
+    def mh_batches(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"\s+", re.ASCII)
+        cache: dict[str, int] = {}
+
+        def h60(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                cache[tok] = v
+            return v
+
+        A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+        bands_idx = np.arange(n_bands, dtype=np.int32)
+        for pdf in batches:
+            ids, szs, buckets = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # Catalyst path emits no bands for null text
+                hs = np.fromiter(
+                    (h60(t) for t in set(ws.split(text))), dtype=np.int64
+                )
+                mins = (((hs % _MH_P)[None, :] * A) + B) % _MH_P
+                mh = mins.min(axis=1).reshape(n_bands, rows_per_band)
+                if rows_per_band == 2:
+                    bk = mh[:, 0] * _MH_P + mh[:, 1]  # oracle combine
+                else:
+                    acc = np.full(n_bands, 0xCBF29CE484222325, dtype=np.uint64)
+                    for j in range(rows_per_band):  # FNV-1a over the band rows
+                        acc = (acc ^ mh[:, j].astype(np.uint64)) * np.uint64(
+                            0x100000001B3
+                        )
+                    bk = acc.astype(np.int64)
+                ids.append(doc_id)
+                szs.append(len(hs))
+                buckets.append(bk)
+            n = len(ids)
+            out = {
+                "doc_id": np.repeat(np.array(ids, dtype=np.int64), n_bands),
+                "band": np.tile(bands_idx, n),
+                "bucket": (np.concatenate(buckets)
+                           if buckets else np.array([], np.int64)),
+            }
+            if with_size:
+                out["sz"] = np.repeat(np.array(szs, dtype=np.int32), n_bands)
+            yield pd.DataFrame(out)[
+                ["doc_id"] + (["sz"] if with_size else []) + ["band", "bucket"]
+            ]
+
+    return (
+        d.select("doc_id", "text")
+        .repartition(par)  # single-file sources must not serialize the UDF
+        .mapInPandas(mh_batches, schema=schema)
+    )
+
+
 _HTOKS_SQL = (
     "list_transform(list_distinct(regexp_split_to_array(text, '\\s+')), "
     "t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
@@ -1104,11 +1203,7 @@ def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     oracle-checked recall target depends on those buckets on this corpus."""
     n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
     d = load(spark, sf_dir, "documents")
-    htoks = _hashed_tokens(F.col("text"))
-    bands = _minhash_bands_spark(htoks, n_bands, rows_per_band)
-    x = d.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    x = _mh_bands_rows(d, n_bands, rows_per_band)
     return _lsh_candidate_pairs(x, max_bucket_size)
 
 
@@ -1138,14 +1233,9 @@ def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
     so the verify threshold and the candidate geometry agree by
     construction; the QUERIES registry pins the oracle's explicit 4x2."""
     n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", _hashed_tokens(F.col("text")).alias("toks")
-    )
-    bands = _minhash_bands_spark(F.col("toks"), n_bands, rows_per_band)
-    x = d.select("doc_id", F.size("toks").alias("sz"), F.explode(bands).alias("bb")).select(
-        "doc_id", "sz",
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
-    )
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _hashed_tokens(F.col("text")).alias("toks"))
+    x = _mh_bands_rows(docs, n_bands, rows_per_band, with_size=True)
     # Exact size-ratio prefilter (VERDICT r4 #2): J(A,B) <= min|A|,|B| /
     # max|A|,|B| (intersection <= min, union >= max), so J >= t implies the
     # size ratio >= t. Sizes are 8-byte ints carried on the band rows — the
@@ -1432,6 +1522,68 @@ def _nd_bands_expr(emb_col: str, n_bands: int = _ND_BANDS,
     )
 
 
+def _nd_bands_rows(e, n_bands: int, planes_per_band: int,
+                   id_col: str = "doc_id", emb_col: str = "emb"):
+    """(id, band, bucket) rows for the banded cosine LSH, choosing the
+    implementation by geometry width:
+
+    - small geometries (<= 12 planes, i.e. the oracle-pinned 6x2): the
+      Catalyst `_nd_bands_expr` — stays inside codegen and matches the
+      static DuckDB SQL twin exactly;
+    - wide geometries (every threshold-derived production config, e.g.
+      7x13 at cosine 0.9): ONE scan-local numpy matmul via mapInPandas.
+      The Catalyst HOF dot product is interpreted per element, so 91
+      planes x 64 dims cost ~10s for 8k vectors where the equivalent
+      (n x dim) @ (dim x planes) matmul is milliseconds — the same
+      measured exception to built-ins-first as q43/q40. Sign bits pack
+      into per-band buckets with a bit-weight matvec, all in the batch.
+
+    Both paths emit identical schemas; at a given geometry every caller
+    (batch q42, streaming _emb_bands) uses the same path, so Spark-vs-Spark
+    equivalence (stream == batch) is preserved bit-for-bit."""
+    if n_bands * planes_per_band <= 12:
+        return e.select(
+            id_col, F.explode(_nd_bands_expr(emb_col, n_bands, planes_per_band)).alias("bb")
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    planes_t = np.asarray(_nd_planes(n_bands * planes_per_band), dtype=np.float64).T
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+    par = e.sparkSession.sparkContext.defaultParallelism * 2
+
+    def bands_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            embs = np.stack(pdf[emb_col].to_numpy())  # (n, dim) float64
+            bits = (embs @ planes_t) > 0  # (n, total_planes)
+            buckets = (
+                bits.reshape(len(ids), -1, len(weights)).astype(np.int64) @ weights
+            )  # (n, n_bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, buckets.shape[1]),
+                    "band": np.tile(
+                        np.arange(buckets.shape[1], dtype=np.int32), len(ids)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return (
+        e.select(id_col, emb_col)
+        .repartition(par)  # single-file sources must not serialize the UDF
+        .mapInPandas(bands_batches, schema="doc_id long, band int, bucket long")
+    )
+
+
 def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
                               salt: int | None = None,
                               n_bands: int | None = None,
@@ -1477,10 +1629,7 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    bands = _nd_bands_expr("emb", n_bands, planes_per_band)
-    x = e.select(F.col("vec_id").alias("doc_id"), F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    x = _nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id")
     # shared candidate-join helper: probe-side repartition + cap/salt knobs
     cands = _lsh_candidate_pairs(x, max_bucket_size, salt).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")

@@ -64,8 +64,8 @@ from ..queries import (
     _cosine_row_prob,
     _hashed_tokens,
     _lsh_candidate_pairs,
-    _minhash_bands_spark,
-    _nd_bands_expr,
+    _mh_bands_rows,
+    _nd_bands_rows,
     _resolve_banding,
 )
 
@@ -85,11 +85,10 @@ def _text_prepare(batch: DataFrame) -> DataFrame:
 
 def _text_bands(batch: DataFrame, n_bands: int = 4,
                 rows_per_band: int = 2) -> DataFrame:
-    htoks = _hashed_tokens(F.col("text"))
-    return batch.select(
-        "doc_id",
-        F.explode(_minhash_bands_spark(htoks, n_bands, rows_per_band)).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    """Delegates to queries._mh_bands_rows, so wide production geometries
+    take the same vectorized numpy minhash path as batch q29/q34 — streamed
+    and batch bands are identical at any geometry."""
+    return _mh_bands_rows(batch, n_bands, rows_per_band)
 
 
 def _jaccard(ca: str, cb: str):
@@ -108,14 +107,14 @@ def _emb_bands(batch: DataFrame, n_bands: int = 6,
     """Banding must be threshold-matched at scale (see q42's docstring: a
     geometry mismatched to the threshold is candidate-dense for any sizeable
     clustered corpus); `stream_dedup` resolves the geometry from the
-    threshold by default and threads explicit `band_kwargs` here."""
+    threshold by default and threads explicit `band_kwargs` here. Delegates
+    to queries._nd_bands_rows, so wide production geometries take the same
+    vectorized numpy path as batch q42 — streamed and batch bands are
+    bit-identical at any geometry."""
     emb = F.transform("embedding", lambda x: x.cast("double"))
-    return batch.select(
-        "doc_id", emb.alias("_e")
-    ).select(
-        "doc_id", F.explode(_nd_bands_expr("_e", n_bands, planes_per_band)).alias("bb")
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    return _nd_bands_rows(
+        batch.select("doc_id", emb.alias("_e")),
+        n_bands, planes_per_band, id_col="doc_id", emb_col="_e",
     )
 
 

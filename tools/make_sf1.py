@@ -51,12 +51,20 @@ def _replicate(name: str, out_dir: str, key_cols: dict[str, int]) -> None:
     pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet")
 
 
-def make_documents(out_dir: str, n_docs: int = 50_000) -> None:
-    """49k unique-vocab docs + 250 planted near-dup clusters of 4 (~90%
-    token overlap inside a cluster). Deterministic, ASCII."""
+def make_documents(out_dir: str, n_docs: int = 50_000,
+                   n_clusters: int | None = None) -> None:
+    """Unique-vocab docs + planted near-dup clusters of 4 (~90% token
+    overlap inside a cluster; default one cluster per 200 docs => ~1% of
+    all docs sit in a near-dup pair). Deterministic, ASCII. Also the
+    realistic-density bench corpus generator (VERDICT r4 #3): the sf0.1
+    test corpus is degenerate (~49% of ALL pairs are LSH candidates), so
+    near-dup bench numbers there measure verify-stage memory bandwidth,
+    not candidate generation."""
+    if n_clusters is None:
+        n_clusters = n_docs // 200
     rows_id, rows_txt = [], []
     doc = 0
-    for cluster in range(250):
+    for cluster in range(n_clusters):
         base = [f"c{cluster}share{j}tok" for j in range(90)]
         for m in range(4):
             toks = base + [f"c{cluster}m{m}own{j}" for j in range(10)]
@@ -82,15 +90,19 @@ def make_documents(out_dir: str, n_docs: int = 50_000) -> None:
     pq.write_table(tbl, f"{out_dir}/documents.parquet")
 
 
-def make_embeddings(out_dir: str, n_vecs: int = 20_000, dim: int = 64) -> None:
-    """Seeded isotropic vectors + 100 planted near-dup pairs (cosine ~0.95)
-    + 10 label clusters carrying a mild shared component."""
+def make_embeddings(out_dir: str, n_vecs: int = 20_000, dim: int = 64,
+                    n_pairs: int | None = None) -> None:
+    """Seeded isotropic vectors + planted near-dup pairs (cosine ~0.95,
+    default one per 200 vectors) + 10 label clusters carrying a mild shared
+    component."""
+    if n_pairs is None:
+        n_pairs = n_vecs // 200
     rng = np.random.RandomState(20260816)
     x = rng.normal(size=(n_vecs, dim)).astype(np.float64)
     labels = (np.arange(n_vecs) % 10).astype(np.int32)
     centers = rng.normal(size=(10, dim)) * 0.5
     x += centers[labels]
-    for p in range(100):  # vec 2p+1 := near-copy of vec 2p
+    for p in range(n_pairs):  # vec 2p+1 := near-copy of vec 2p
         x[2 * p + 1] = x[2 * p] + rng.normal(size=dim) * 0.08
     tbl = pa.table(
         {
