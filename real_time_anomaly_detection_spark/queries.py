@@ -1733,11 +1733,12 @@ def q44_ann_ivf_topk(spark, sf_dir):
     return _ivf_topk_from_cents(e, cents)
 
 
-def _ivf_topk_from_cents(e, cents):
+def _ivf_topk_from_cents(e, cents, nprobe: int = _IVF_NPROBE):
     """Shared IVF probe plan (q44 fixed / q46 trained coarse quantizer):
     `cents` is a driver-side list of (cell_id, unit-normalized float64
     vector). Embedded as literals so cell assignment is map-side (see q44
-    docstring for the 10^9-vector rationale)."""
+    docstring for the 10^9-vector rationale). `nprobe` = probed cells per
+    query vector (recall/candidate trade)."""
     cents_lit = F.array(
         *[
             F.struct(
@@ -1759,31 +1760,70 @@ def _ivf_topk_from_cents(e, cents):
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    # top-_IVF_NPROBE cells per vector: sort (neg_sim, cell) structs asc ->
-    # best first; |emb| is a common positive factor, so it cannot change the
-    # ordering and is dropped from the sort key entirely
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                cents_lit,
-                lambda c: F.struct((-_cos_to(c)).alias("neg_sim"), c["cell"].alias("cell")),
+    if len(cents) <= 16:
+        # oracle-pinned small quantizer (q44's static SQL twin): Catalyst
+        # literal argmax. top-nprobe cells per vector: sort (neg_sim, cell)
+        # structs asc -> best first; |emb| is a common positive factor, so
+        # it cannot change the ordering and is dropped from the sort key
+        ranked_cells = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        cents_lit,
+                        lambda c: F.struct(
+                            (-_cos_to(c)).alias("neg_sim"), c["cell"].alias("cell")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda c: c["cell"],
+        )
+        scored = e.withColumn("_cells", ranked_cells)
+    else:
+        # derived sqrt-n quantizers (q46): the per-cell HOF dot product is
+        # interpreted per element (45 cells x 64 dims cost ~3s for 2k
+        # vectors), so rank cells with ONE numpy matmul per Arrow batch.
+        # Stable argsort of -scores reproduces the exact (neg_sim, cell)
+        # tie-break because cells are 0..k-1 in column order.
+        import numpy as np
+        import pandas as pd
+
+        cents_arr = np.asarray([vec for _, vec in cents], dtype=np.float64)
+        cell_ids = np.asarray([int(cell) for cell, _ in cents], dtype=np.int32)
+        par = e.sparkSession.sparkContext.defaultParallelism * 2
+
+        def rank_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                embs = np.stack(pdf["emb"].to_numpy())
+                order = np.argsort(-(embs @ cents_arr.T), axis=1, kind="stable")
+                pdf = pdf[["vec_id", "emb"]].copy()
+                pdf["_cells"] = list(cell_ids[order[:, :nprobe]])
+                yield pdf
+
+        scored = (
+            e.select("vec_id", "emb").repartition(par).mapInPandas(
+                rank_batches,
+                schema="vec_id long, emb array<double>, _cells array<int>",
             )
-        ),
-        1,
-        _IVF_NPROBE,
-    )
-    scored = e.withColumn("_cells", ranked_cells)
+            # referenced twice below (assigned + probes): persist so the
+            # UDF pass runs once (the q40/q43 multi-reference pattern)
+            .persist()
+        )
     assigned = scored.select(
         F.col("vec_id").alias("cand_id"),
         F.col("emb").alias("c_emb2"),
-        F.element_at("_cells", 1)["cell"].alias("cell"),
+        F.element_at("_cells", 1).alias("cell"),
     )
     probes = (
         scored.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("emb").alias("p_emb"),
-            F.explode(F.transform("_cells", lambda c: c["cell"])).alias("cell"),
+            F.explode("_cells").alias("cell"),
         )
     )
     pdot = F.aggregate(
@@ -1841,8 +1881,20 @@ _IVF_TRAIN_SAMPLE = 8192
 _IVF_CENT_CACHE: dict = {}
 
 
-def _ivf_trained_centroids(sf_dir: str) -> tuple:
-    """k=_IVF_CELLS unit centroids from seeded spherical k-means, float64.
+def _ivf_cells_for(n: int) -> int:
+    """Cell-count heuristic: ~sqrt(n) coarse cells (the standard IVF sizing
+    — cell scan cost and cell count balance at sqrt), clamped to [16, 256].
+    At 10^9 vectors the clamp keeps the literal centroid table bounded; a
+    real deployment past ~10^7 rows would raise the cap and ship centroids
+    as a broadcast table instead of literals (same plan shape)."""
+    import math
+
+    return max(16, min(256, round(math.sqrt(n))))
+
+
+def _ivf_trained_centroids(sf_dir: str, n_cells: int | None = None) -> tuple:
+    """Unit centroids from seeded spherical k-means, float64; n_cells
+    defaults to the sqrt-n heuristic over the corpus (VERDICT r4 #8).
 
     Reads the embeddings parquet directly with pyarrow on the driver — the
     training set is a strided sample of <= _IVF_TRAIN_SAMPLE rows, so at 10^9
@@ -1853,7 +1905,7 @@ def _ivf_trained_centroids(sf_dir: str) -> tuple:
     empty cells keep their previous centroid. The SAME function feeds both
     the Spark literals (q46) and the DuckDB oracle literals (_q46_sql), so
     both engines rank against bit-identical centroids."""
-    cached = _IVF_CENT_CACHE.get(sf_dir)
+    cached = _IVF_CENT_CACHE.get((sf_dir, n_cells))
     if cached is not None:
         return cached
     import numpy as np
@@ -1863,6 +1915,7 @@ def _ivf_trained_centroids(sf_dir: str) -> tuple:
     vid = np.asarray(t.column("vec_id").to_pylist())
     x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     x = x[np.argsort(vid, kind="stable")]
+    k = _ivf_cells_for(len(x)) if n_cells is None else n_cells
     stride = max(1, len(x) // _IVF_TRAIN_SAMPLE)
     s = x[::stride][:_IVF_TRAIN_SAMPLE]
 
@@ -1872,20 +1925,21 @@ def _ivf_trained_centroids(sf_dir: str) -> tuple:
         return m / n
 
     s = _unit(s)
-    c = _unit(s[np.linspace(0, len(s) - 1, _IVF_CELLS).astype(int)].copy())
+    c = _unit(s[np.linspace(0, len(s) - 1, k).astype(int)].copy())
     for _ in range(_IVF_TRAIN_ITERS):
         assign = np.argmax(s @ c.T, axis=1)
-        for j in range(_IVF_CELLS):
+        for j in range(k):
             members = s[assign == j]
             if len(members):
                 c[j] = members.mean(axis=0)
         c = _unit(c)
     out = tuple(tuple(float(v) for v in row) for row in c)
-    _IVF_CENT_CACHE[sf_dir] = out
+    _IVF_CENT_CACHE[(sf_dir, n_cells)] = out
     return out
 
 
-def q46_ann_ivf_trained(spark, sf_dir):
+def q46_ann_ivf_trained(spark, sf_dir, n_cells: int | None = None,
+                        nprobe: int = _IVF_NPROBE):
     """q44 with a TRAINED coarse quantizer: same literal-centroid map-side
     assignment and broadcast probe join, but the _IVF_CELLS centroids come
     from seeded k-means over a bounded sample (see _ivf_trained_centroids)
@@ -1895,21 +1949,28 @@ def q46_ann_ivf_trained(spark, sf_dir):
     10) is NOT a fair comparison because those probes ARE q44's centroids
     (each probe's own cell contains its neighborhood by construction).
     Recasts the reference's fit-then-apply detector pattern
-    (anomaly_detector.py:282-340's train/apply split) onto ANN indexing."""
-    cents = _ivf_trained_centroids(sf_dir)
+    (anomaly_detector.py:282-340's train/apply split) onto ANN indexing.
+
+    `n_cells` defaults to the sqrt-n heuristic (_ivf_cells_for; r4 #8 —
+    16 fixed cells starved recall as corpora grew); `nprobe` is exposed
+    for the recall/candidate trade. The generated oracle derives the SAME
+    defaults from the same corpus, so parity holds at any scale."""
+    cents = _ivf_trained_centroids(sf_dir, n_cells)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    return _ivf_topk_from_cents(e, list(enumerate(cents)))
+    return _ivf_topk_from_cents(e, list(enumerate(cents)), nprobe)
 
 
-def _q46_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _q46_sql(sf_dir: str = "/root/testdata/sf0.01",
+             n_cells: int | None = None,
+             nprobe: int = _IVF_NPROBE) -> str:
     """DuckDB oracle for q46, generated at call time: the trained centroids
     are data-dependent, so the SQL embeds the same unit-centroid literals the
     Spark plan uses (bit-identical floats via repr round-trip). Cell ranking
     uses the plain dot product — the |emb| factor is common to all cells on
     both engines, exactly as the Spark plan drops it."""
-    cents = _ivf_trained_centroids(sf_dir)
+    cents = _ivf_trained_centroids(sf_dir, n_cells)
     rows = ",\n".join(
         f"({cell}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[])"
         for cell, vec in enumerate(cents)
@@ -1926,7 +1987,7 @@ ranked AS (
   FROM e, cents),
 assigned AS (SELECT vec_id AS cand_id, emb AS c_emb2, cell FROM ranked WHERE rk = 1),
 probes AS (SELECT vec_id AS probe_id, emb AS p_emb, cell
-           FROM ranked WHERE vec_id < 10 AND rk <= {_IVF_NPROBE}),
+           FROM ranked WHERE vec_id < 10 AND rk <= {nprobe}),
 pairs AS (
   SELECT probe_id, cand_id,
          round(list_dot_product(p_emb, c_emb2) /

@@ -340,7 +340,9 @@ def test_ivf_trained_centroids_beat_fixed_on_held_out_probes():
 
     xn = unit(x)
     full = xn @ xn.T
-    trained = np.array(_ivf_trained_centroids(SF_DIR))
+    # explicit n_cells=16: apples-to-apples vs q44's fixed 16-cell
+    # quantizer (the default now derives ~sqrt(n) cells — r5)
+    trained = np.array(_ivf_trained_centroids(SF_DIR, n_cells=16))
     fixed = unit(x[:16])  # q44's quantizer, q44's normalization
 
     def recall(cents, probes, nprobe=2, k=5):
@@ -502,7 +504,12 @@ def test_ivf_trained_centroids_deterministic():
     Q._IVF_CENT_CACHE.clear()
     b = Q._ivf_trained_centroids(SF_DIR)
     assert a == b
-    assert len(a) == Q._IVF_CELLS
+    import pyarrow.parquet as _pq
+
+    n_corpus = _pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=[]
+    ).num_rows
+    assert len(a) == Q._ivf_cells_for(n_corpus)
     for row in a:
         assert math.isclose(sum(v * v for v in row), 1.0, rel_tol=1e-9)
 
@@ -717,3 +724,60 @@ def test_simhash_scan_local_equals_agg_formulation(spark, tmp_path):
     want = {r.doc_id: r.fp for r in Q._simhash60_agg(d).collect()}
     assert got == want
     assert 5 not in got  # null text: no row, matching the agg path
+
+
+def test_ivf_recall_above_080_at_nprobe4_on_clustered_corpus(tmp_path):
+    """VERDICT r4 #8: with sqrt-n cells (derived default) and nprobe=4, the
+    trained IVF quantizer must reach >= 0.8 held-out top-5 recall on a
+    clustered corpus (the regime IVF exists for — cells adapt to clusters
+    where fixed hyperplanes and undersized cell counts cannot). Pure-numpy
+    simulation of the exact shipped quantizer + probe plan, like the
+    trained-vs-fixed pin above."""
+    import sys
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import make_sf1
+
+    from real_time_anomaly_detection_spark.queries import (
+        _ivf_cells_for,
+        _ivf_trained_centroids,
+    )
+
+    corpus = str(tmp_path / "emb")
+    os.makedirs(corpus, exist_ok=True)
+    make_sf1.make_embeddings(corpus, n_vecs=2000)
+
+    t = pq.read_table(f"{corpus}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    x = x[np.argsort(vid, kind="stable")]
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    xn = unit(x)
+    full = xn @ xn.T
+    cents = np.array(_ivf_trained_centroids(corpus))  # derived sqrt-n cells
+    assert len(cents) == _ivf_cells_for(len(x)) == 45
+
+    sims = xn @ cents.T
+    order = np.argsort(-sims, axis=1)
+    assign, probe_cells = order[:, 0], order[:, :4]  # nprobe=4
+    rec = tot = 0
+    for p in range(500, 600):  # held-out probes (not centroids, not planted)
+        s = full[p].copy()
+        s[p] = -9.0
+        truth = set(np.argsort(-s)[:5])
+        cand = np.where(np.isin(assign, probe_cells[p]))[0]
+        cand = cand[cand != p]
+        got = set(cand[np.argsort(-full[p][cand])[:5]])
+        rec += len(truth & got)
+        tot += 5
+    recall = rec / tot
+    assert recall >= 0.8, f"recall {recall:.3f}"
