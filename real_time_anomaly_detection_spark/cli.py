@@ -176,6 +176,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--planes-per-band", type=int,
                    help="embedding modality: hyperplanes per band (default: "
                         "derived from --threshold)")
+    p.add_argument("--train-planes", action="store_true",
+                   help="embedding modality: train covariance-matched planes "
+                        "on the first epoch's sample (persisted beside the "
+                        "store) instead of the fixed seeded planes")
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
@@ -269,6 +273,7 @@ def main(argv: list[str] | None = None) -> None:
             available_now=not args.continuous,
             processing_time=args.trigger,
             band_kwargs=band_kwargs,
+            train_planes=args.train_planes,
         )
         q.awaitTermination()
         print(args.out)
