@@ -262,6 +262,107 @@ def _check_store_meta(out_dir: str, meta: dict) -> None:
 
 PLANES_FILE = "planes.json"
 _PLANES_SAMPLE_CAP = 4096
+SNAPSHOT_DIR = "store_snapshots"
+
+
+def _append_store_snapshot(out_dir: str, epoch_id: int, n_docs: int) -> None:
+    """Epoch-commit lineage for the dedup stores (VERDICT r3 #8 / r4 #7 —
+    the `tables.py` snapshot-sidecar pattern): one JSON record per epoch,
+    written AFTER both store writes succeed, keyed by epoch so a retried
+    epoch replaces its own record (same idempotency as the stores). At real
+    scale this is the Iceberg snapshot log; here it is the parquet-backend
+    sidecar."""
+    sp = os.path.join(out_dir, SNAPSHOT_DIR)
+    os.makedirs(sp, exist_ok=True)
+    import time
+
+    rec = {"epoch_id": int(epoch_id), "committed_at": time.time(),
+           "n_docs": int(n_docs)}
+    path = os.path.join(sp, f"epoch_{epoch_id}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, path)
+
+
+def store_snapshots(out_dir: str) -> list[dict]:
+    """Committed-epoch lineage records, sorted by epoch."""
+    sp = os.path.join(out_dir, SNAPSHOT_DIR)
+    if not os.path.isdir(sp):
+        return []
+    out = []
+    for f in sorted(os.listdir(sp)):
+        if f.startswith("epoch_") and f.endswith(".json"):
+            with open(os.path.join(sp, f)) as fh:
+                out.append(json.load(fh))
+    return sorted(out, key=lambda r: r["epoch_id"])
+
+
+def _epoch_dirs(root: str) -> set[int]:
+    if not os.path.isdir(root):
+        return set()
+    return {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("epoch_id=")
+    }
+
+
+def verify_store_lineage(out_dir: str, checkpoint_dir: str) -> dict:
+    """Cross-check the three epoch-keyed artifacts — store snapshots
+    (lineage), the streaming checkpoint's commit log, and the on-disk epoch
+    directories — instead of trusting directory listings:
+
+    - every lineage epoch must be <= the checkpoint's next batch id: a
+      lineage epoch the checkpoint could never have produced means a FRESH
+      checkpoint was pointed at an OLD store — the restarted stream would
+      renumber epochs from 0 and silently overwrite early store epochs
+      while trusting later ones (lost/duplicated pairs);
+    - every lineage epoch must have its pairs/ output (lost-pairs check);
+    - an epoch DIRECTORY without a lineage record is legal only at the
+      in-flight head (a crash between the store writes and the snapshot
+      append — the retry overwrites it); below the committed head it means
+      corruption.
+
+    Returns {"epochs": [...], "checkpoint_commits": [...]} when consistent;
+    raises ValueError otherwise. Runs automatically at stream start."""
+    lineage = {r["epoch_id"] for r in store_snapshots(out_dir)}
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    commits = set()
+    if os.path.isdir(commits_dir):
+        for f in os.listdir(commits_dir):
+            if f.isdigit():
+                commits.add(int(f))
+    next_batch = (max(commits) + 1) if commits else 0
+    ahead = {e for e in lineage if e > next_batch}
+    if ahead:
+        raise ValueError(
+            f"store lineage has epochs {sorted(ahead)} beyond the "
+            f"checkpoint's next batch id {next_batch}: this checkpoint "
+            "cannot have produced them (fresh checkpoint against an old "
+            "store?). A restarted stream would renumber epochs and corrupt "
+            "the store — reuse the original checkpoint or start a fresh "
+            "out_dir."
+        )
+    head = max(lineage) if lineage else -1
+    for artifact in ("pairs", "bands_store", "payload_store"):
+        root = os.path.join(out_dir, artifact)
+        missing = lineage - _epoch_dirs(root)
+        if missing:
+            raise ValueError(
+                f"committed epochs {sorted(missing)} are missing from "
+                f"{artifact} — state lost after commit (the snapshot is "
+                "written only after every epoch artifact is on disk)"
+            )
+        orphans = {
+            e for e in _epoch_dirs(root) if e not in lineage and e <= head
+        }
+        if orphans:
+            raise ValueError(
+                f"{artifact} has unsnapshotted epochs {sorted(orphans)} "
+                f"below the committed lineage head {head} — store corruption"
+            )
+    return {"epochs": sorted(lineage), "checkpoint_commits": sorted(commits)}
 
 
 def _train_cov_planes(batch_df: DataFrame, n_planes: int) -> list:
@@ -401,6 +502,10 @@ def stream_dedup(
     bands_store = os.path.join(out_dir, "bands_store")
     payload_store = os.path.join(out_dir, "payload_store")
     pairs_out = os.path.join(out_dir, "pairs")
+    # snapshot-diff consistency gate (r4 #7): a store with committed epochs
+    # this checkpoint cannot explain, lost pair outputs, or unsnapshotted
+    # store epochs below the lineage head fails HERE, before any batch runs
+    verify_store_lineage(out_dir, checkpoint_dir)
 
     stream = spark.readStream.schema(schema).parquet(input_path)
 
@@ -507,6 +612,10 @@ def stream_dedup(
         ).write.partitionBy("sbucket").mode("overwrite").parquet(
             f"{bands_store}/epoch_id={epoch_id}"
         )
+        # lineage LAST: the snapshot record asserts both stores + pairs for
+        # this epoch are fully on disk (batch_df is persisted; the count is
+        # a cached-scan metadata pass)
+        _append_store_snapshot(out_dir, epoch_id, batch_df.count())
         for df in cached:
             df.unpersist()
 

@@ -128,24 +128,39 @@ def test_reingested_doc_id_does_not_self_pair(spark, tmp_path):
 
 
 def test_half_written_store_does_not_wedge(spark, tmp_path):
-    """ADVICE r3: a crash between the two store writes must leave the retry
-    on the within-batch-only path (cross-batch gated on BOTH stores), not
-    permanently wedge the stream on a read of the missing store — and the
-    stream must heal: state written by the degraded epoch serves later
-    epochs' cross-batch joins."""
+    """ADVICE r3 (re-simulated accurately for r4 #7 lineage): a crash
+    between the two store writes of the FIRST epoch leaves payload_store on
+    disk, bands_store absent, and neither a snapshot record nor a
+    checkpoint commit (both are written after the bands write). On the
+    next drain the epoch REPLAYS: the cross-batch branch is gated on BOTH
+    stores existing, so the replayed epoch runs the within-batch-only path
+    instead of wedging on a read of the missing store, heals the stores,
+    and the following epoch finds its cross-batch pairs — final pairs
+    equal the crash-free run and the lineage gate passes."""
     import shutil
 
     src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1)])
-    shutil.rmtree(os.path.join(out, "bands_store"))  # simulate partial write
+    # accurate mid-epoch-0 crash: bands write, snapshot append, and
+    # checkpoint commit all never happened
+    shutil.rmtree(os.path.join(out, "bands_store"))
+    os.remove(os.path.join(out, dedup_stream.SNAPSHOT_DIR, "epoch_0.json"))
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
-    # epoch 1 must complete (no exception), skipping cross-batch pairs
+    # replay of epoch 0 must complete (no exception) on the degraded
+    # within-batch-only path and heal the stores; epoch 1 then runs normally
     spark.createDataFrame(_docs(BATCH2)).coalesce(1).write.mode("append").parquet(src)
     q = dedup_stream.stream_dedup(spark, src, ckpt, out)
     q.awaitTermination()
     got = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
-    assert frozenset((1, 10)) not in got  # cross-batch skipped, not wedged
+    assert frozenset((1, 2)) in got    # replayed within-batch pair intact
+    assert frozenset((1, 10)) in got   # epoch 1 cross-batch pair found
+    assert frozenset((3, 11)) in got
+    assert dedup_stream.verify_store_lineage(out, ckpt)["epochs"] == [0, 1]
 
-    # healed: epoch 1 rewrote both stores, so epoch 2 finds cross pairs
+    # healed stores serve later epochs too
     spark.createDataFrame(_docs([(20, BATCH2[0][1])])).coalesce(1) \
         .write.mode("append").parquet(src)
     q = dedup_stream.stream_dedup(spark, src, ckpt, out)
@@ -236,6 +251,9 @@ def test_checkpoint_replay_of_partial_epoch_is_exact(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     shutil.rmtree(os.path.join(out, "bands_store", "epoch_id=1"))
+    # the store snapshot is written AFTER the bands write, so a crash
+    # mid-epoch-1 means its lineage record was never appended either (r5)
+    os.remove(os.path.join(out, dedup_stream.SNAPSHOT_DIR, "epoch_1.json"))
 
     q = dedup_stream.stream_dedup(spark, src, ckpt, out)
     q.awaitTermination()
@@ -373,3 +391,52 @@ def test_trained_planes_beat_fixed_at_equal_bands(spark, tmp_path):
             modality="embedding", threshold=0.9, band_kwargs=kw,
             train_planes=False,
         )
+
+
+def test_store_lineage_detects_mismatch_and_loss(spark, tmp_path):
+    """VERDICT r4 #7: restart consistency comes from snapshot-diff lineage,
+    not directory trust. After a clean 2-epoch run: (a) lineage lists both
+    epochs and agrees with the checkpoint; (b) a FRESH checkpoint pointed
+    at the old store fails at stream start (the restarted stream would
+    renumber epochs and overwrite early store state); (c) a committed
+    epoch's pairs output going missing fails; (d) the legitimate
+    partial-epoch replay state (commit marker gone, snapshot gone, store
+    dir gone) still passes the gate and heals."""
+    import shutil
+
+    import pytest
+
+    src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1), _docs(BATCH2)])
+
+    info = dedup_stream.verify_store_lineage(out, ckpt)
+    assert info["epochs"] == [0, 1]
+    assert info["checkpoint_commits"] == [0, 1]
+    snaps = dedup_stream.store_snapshots(out)
+    assert [s["epoch_id"] for s in snaps] == [0, 1]
+    assert all(s["n_docs"] == 3 for s in snaps)
+
+    # (b) fresh checkpoint + old store: hard error before any batch runs
+    with pytest.raises(ValueError, match="beyond the checkpoint"):
+        dedup_stream.stream_dedup(spark, src, str(tmp_path / "fresh_ck"), out)
+
+    # (c) committed pairs output lost after commit
+    shutil.move(os.path.join(out, "pairs", "epoch_id=1"),
+                str(tmp_path / "stash"))
+    with pytest.raises(ValueError, match="missing from pairs"):
+        dedup_stream.verify_store_lineage(out, ckpt)
+    shutil.move(str(tmp_path / "stash"), os.path.join(out, "pairs", "epoch_id=1"))
+
+    # (d) the replay state is legal: commit 1 + snapshot 1 + bands epoch 1
+    # all gone together (crash before the lineage append)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(os.path.join(out, "bands_store", "epoch_id=1"))
+    os.remove(os.path.join(out, dedup_stream.SNAPSHOT_DIR, "epoch_1.json"))
+    before = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    after = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert after == before
+    assert dedup_stream.verify_store_lineage(out, ckpt)["epochs"] == [0, 1]
