@@ -191,6 +191,7 @@ def main_neardup(args, lo: int, hi: int) -> None:
     it cannot reflect the candidate-generation design (VERDICT r4 #3).
     Override with RTAD_SF_DIR."""
     if "RTAD_SF_DIR" not in os.environ:
+        sys.path.insert(0, REPO)
         import bench
 
         os.environ["RTAD_SF_DIR"] = bench.neardup_corpus_dir()
