@@ -1124,7 +1124,8 @@ def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
     BEFORE the self-join (a boilerplate mega-bucket carries near-zero
     information; its members collide with everything). The count is a
     broadcastable aggregate on the join key itself, so the cap costs one
-    map-side-combined groupBy + one broadcast semi-join, no extra shuffle of
+    map-side-combined groupBy + one broadcast ANTI-join on the few over-cap
+    buckets, no extra shuffle of
     `x`. Default None (off): on this synthetic corpus the oracle-checked
     recall target depends on the giant buckets.
 
@@ -1144,13 +1145,19 @@ def _lsh_candidate_pairs(x, max_bucket_size: int | None = None,
     broadcast — the 10^12-row case), where the join co-partitions both sides
     by key and a hot key pins one task."""
     if max_bucket_size is not None:
-        small = (
+        # Broadcast the OVER-cap buckets and anti-join: hot buckets are few
+        # by definition, while the under-cap set is O(all buckets) — the r5
+        # profile caught the inverted form shipping a corpus-sized broadcast
+        # (q43's analogous rare-fp set was 6.5M rows / ~12s of a 17s query,
+        # and would OOM the driver at 10^12 rows). Exactly equivalent:
+        # the two sets partition the key space.
+        hot = (
             x.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
+            .filter(F.col("_n") > max_bucket_size)
             .drop("_n")
         )
-        x = x.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+        x = x.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     # Round-robin repartition of the PROBE side before the self-join. The
     # bands table is a handful of rows per doc, so when the source is a few
     # parquet files Catalyst broadcasts the build side and runs the join over
@@ -1203,7 +1210,10 @@ def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     oracle-checked recall target depends on those buckets on this corpus."""
     n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
     d = load(spark, sf_dir, "documents")
-    x = _mh_bands_rows(d, n_bands, rows_per_band)
+    # persisted: the candidate self-join references the bands relation on
+    # both sides — without this the tokenize+minhash derivation runs twice
+    # (the q43 multi-reference pattern, r5)
+    x = _mh_bands_rows(d, n_bands, rows_per_band).persist()
     return _lsh_candidate_pairs(x, max_bucket_size)
 
 
@@ -1235,7 +1245,8 @@ def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
     n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
     docs = load(spark, sf_dir, "documents")
     d = docs.select("doc_id", _hashed_tokens(F.col("text")).alias("toks"))
-    x = _mh_bands_rows(docs, n_bands, rows_per_band, with_size=True)
+    # persisted: both sides of the candidate self-join (r5)
+    x = _mh_bands_rows(docs, n_bands, rows_per_band, with_size=True).persist()
     # Exact size-ratio prefilter (VERDICT r4 #2): J(A,B) <= min|A|,|B| /
     # max|A|,|B| (intersection <= min, union >= max), so J >= t implies the
     # size ratio >= t. Sizes are 8-byte ints carried on the band rows — the
@@ -1635,7 +1646,8 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    x = _nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id")
+    # persisted: both sides of the candidate self-join (r5)
+    x = _nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id").persist()
     # shared candidate-join helper: probe-side repartition + cap/salt knobs
     cands = _lsh_candidate_pairs(x, max_bucket_size, salt).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
@@ -2452,7 +2464,7 @@ def q43_winnowing_neardup(spark, sf_dir):
     utf-8 encoding — exactly the oracle's md5(substr(text)) — with a
     zero-copy byte-slice fast path taken when the doc is pure ASCII
     (byte grams == char grams there).
-    The df cap is the same broadcast-semi-join straggler guard as
+    The df cap is the same hot-set broadcast-anti-join straggler guard as
     _lsh_candidate_pairs' max_bucket_size, ON by default because a
     ubiquitous fingerprint is definitionally boilerplate. The k-gram hash
     is the md5-60bit extraction, so the whole pipeline has a DuckDB value
@@ -2525,13 +2537,20 @@ def q43_winnowing_neardup(spark, sf_dir):
         # than OOMs at scale.
         .persist()
     )
-    rare = (
+    # stop-fingerprint removal via the INVERTED cap join: broadcast the few
+    # over-cap (ubiquitous/boilerplate) fingerprints and anti-join — the
+    # rare set is O(all fingerprints) (measured 6.5M rows at 20k docs, and
+    # its broadcast build dominated the query at 12s of 17s; r5)
+    hot = (
         x.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= _WN_MAX_DF)
+        .filter(F.col("_df") > _WN_MAX_DF)
         .drop("_df")
     )
-    x = x.join(F.broadcast(rare), "fp", "left_semi")
+    # second persist: the anti-joined relation feeds BOTH sides of the pair
+    # self-join; without it the anti-join recomputes per side (r5 profile:
+    # ~3s per extra pass at 6.5M fingerprint rows)
+    x = x.join(F.broadcast(hot), "fp", "left_anti").persist()
     return (
         x.alias("a")
         .join(x.alias("b"), "fp")

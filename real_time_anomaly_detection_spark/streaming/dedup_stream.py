@@ -193,16 +193,18 @@ def _cross_candidates(old_bands: DataFrame, new_bands: DataFrame,
     splits one bucket's m_old x m_new work across R tasks (store side gets
     hash(doc_id) % R, the small batch side is replicated to all R salts)."""
     if max_bucket_size is not None:
-        small = (
+        # broadcast the few OVER-cap buckets, anti-join (the under-cap set
+        # is O(all buckets) — see queries._lsh_candidate_pairs, r5)
+        hot = (
             old_bands.select("band", "bucket")
             .unionByName(new_bands.select("band", "bucket"))
             .groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
+            .filter(F.col("_n") > max_bucket_size)
             .drop("_n")
         )
-        old_bands = old_bands.join(F.broadcast(small), ["band", "bucket"], "left_semi")
-        new_bands = new_bands.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+        old_bands = old_bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        new_bands = new_bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     # round-robin repartition of the store (probe) side: the pruned store
     # read may be few parquet files; without this the pair emission runs in
     # as few tasks as there are files (same measured pathology as the batch

@@ -153,12 +153,14 @@ def test_embedding_lsh_never_cartesian(spark):
 
 def test_winnowing_no_cartesian_and_caps_before_join(spark):
     """q43 pin: pair generation is an equi-join on the fingerprint; the
-    stop-fingerprint df cap is a semi-join BEFORE the pair self-join."""
+    stop-fingerprint df cap is a broadcast ANTI-join on the few OVER-cap
+    fingerprints BEFORE the pair self-join (r5 — the semi-join form
+    broadcast the O(corpus) under-cap set)."""
     from real_time_anomaly_detection_spark.queries import q43_winnowing_neardup
 
     p = plan_str(q43_winnowing_neardup(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
 
 
 def test_content_dedup_digest_before_exchange(spark, clips_parquet):
