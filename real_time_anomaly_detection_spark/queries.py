@@ -1028,6 +1028,10 @@ def _mh_bands_rows(d, n_bands: int, rows_per_band: int,
         def h60(tok: str) -> int:
             v = cache.get(tok)
             if v is None:
+                if len(cache) >= 2_000_000:
+                    # bound worker memory on huge-vocabulary partitions:
+                    # the cache is a pure memo, dropping it only re-hashes
+                    cache.clear()
                 v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
                 cache[tok] = v
             return v
@@ -2140,6 +2144,10 @@ def _simhash60(d):
         def h60(tok: str) -> int:
             v = cache.get(tok)
             if v is None:
+                if len(cache) >= 2_000_000:
+                    # bound worker memory on huge-vocabulary partitions:
+                    # the cache is a pure memo, dropping it only re-hashes
+                    cache.clear()
                 v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
                 cache[tok] = v
             return v

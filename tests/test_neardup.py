@@ -781,3 +781,44 @@ def test_ivf_recall_above_080_at_nprobe4_on_clustered_corpus(tmp_path):
         tot += 5
     recall = rec / tot
     assert recall >= 0.8, f"recall {recall:.3f}"
+
+
+def test_banding_for_properties_hypothesis():
+    """Property pins for the threshold->banding derivation across the whole
+    usable threshold range, both similarity maps: the S-curve midpoint
+    tracks the threshold within one geometric step, the geometry respects
+    its clamps, and rows are monotone non-decreasing in the threshold
+    (higher thresholds never get a LOOSER band)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_anomaly_detection_spark.queries import (
+        _banding_for,
+        _cosine_row_prob,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(min_value=0.2, max_value=0.97),
+           st.booleans())
+    def check(t, cosine):
+        prob = _cosine_row_prob if cosine else None
+        b, r = _banding_for(t, prob)
+        assert 1 <= b <= 8 and 1 <= r <= 32
+        tp = min(max(prob(t) if prob else t, 0.05), 0.99)
+        mid = (1.0 / b) ** (1.0 / r)
+        # within one band step of the ideal curve: the coarsest move is
+        # b -> b±1, which shifts the midpoint by ln(1±1/b)/r
+        import math
+        step = abs(math.log1p(1.0 / b)) / r
+        slack = max(0.08, 2 * step)
+        assert abs(mid - tp) <= slack, (t, cosine, b, r, mid, tp)
+
+    check()
+
+    # monotonicity: rows never decrease as the threshold rises
+    from real_time_anomaly_detection_spark.queries import _banding_for as bf
+    prev = 0
+    for t in [x / 100 for x in range(20, 98)]:
+        _, r = bf(t)
+        assert r >= prev, (t, r, prev)
+        prev = r
