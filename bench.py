@@ -58,6 +58,7 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     q29_minhash_lsh,
     q34_neardup_lsh_verified,
     q42_embedding_neardup_lsh,
+    q47_neardup_clusters,
 )
 
 NEARDUP_BENCH_FNS = {
@@ -66,6 +67,7 @@ NEARDUP_BENCH_FNS = {
     "q42_embedding_neardup_lsh": (
         lambda s, d: q42_embedding_neardup_lsh(s, d, threshold=0.9)
     ),
+    "q47_neardup_clusters": q47_neardup_clusters,            # derived @ 0.5
 }
 NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
     "q40_simhash_hamming",

@@ -2674,6 +2674,95 @@ FROM s GROUP BY split
 """
 
 
+def q47_neardup_clusters(spark, sf_dir, max_bucket_size: int | None = None,
+                         salt: int | None = None,
+                         n_bands: int | None = None,
+                         rows_per_band: int | None = None,
+                         threshold: float = 0.5,
+                         max_iters: int = 25):
+    """Near-dup CLUSTERS + canonical keeper — the step that actually
+    deduplicates a corpus (pairs alone do not: dropping one doc of every
+    pair over-deletes transitively-linked groups and keeps no canonical
+    representative). Connected components over the q34 verified-pair graph,
+    cluster_id = min doc_id in the component, is_keeper marks that doc;
+    emits only docs that belong to some near-dup pair (singletons are
+    trivially their own keeper and would dominate the output).
+
+    Spark shape: iterative min-label propagation — labels start as each
+    node's own id; each round joins the (small: near-dup docs only) label
+    relation to the undirected edge list, takes the min neighbor label per
+    node, and keeps the elementwise min. The driver loop's only action is
+    the metadata-sized convergence count (rows whose label changed), the
+    standard Pregel/GraphFrames pattern; rounds needed = component
+    diameter in min-label hops (near-dup components are near-cliques, so
+    2-3 in practice; the large-star/small-star variant halves long chains
+    and is the known upgrade if diameters grow). Each round's label
+    relation is persisted and the previous round's released, so the plan
+    does not deepen across iterations (no lineage blowup).
+
+    DuckDB oracle: WITH RECURSIVE min-label reachability closure over the
+    same pair SQL — component ids are algorithm-independent (min doc_id),
+    so the two engines agree exactly."""
+    pairs = q34_neardup_lsh_verified(
+        spark, sf_dir, max_bucket_size, salt, n_bands, rows_per_band, threshold
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnRenamed("doc_a", "u")
+        .withColumnRenamed("doc_b", "v")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
+                (F.coalesce("_nl", "label") < F.col("label")).alias("_chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("_chg")).count()  # metadata-sized
+        labels.unpersist()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    out = labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+    return out
+
+
+_Q47_SQL = f"""
+WITH RECURSIVE base AS ({_Q34_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM base
+  UNION ALL
+  SELECT doc_b, doc_a FROM base),
+reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+  UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -2738,6 +2827,9 @@ QUERIES = {
     "q44_ann_ivf_topk": q44_ann_ivf_topk,
     "q45_hash_split": q45_hash_split,
     "q46_ann_ivf_trained": q46_ann_ivf_trained,
+    "q47_neardup_clusters": _pin_kwargs(
+        q47_neardup_clusters, n_bands=_MH_BANDS, rows_per_band=2
+    ),
 }
 
 ORACLES = {
@@ -2783,6 +2875,7 @@ ORACLES = {
     "q43_winnowing_neardup": _Q43_SQL,
     "q44_ann_ivf_topk": _Q44_SQL,
     "q45_hash_split": _Q45_SQL,
+    "q47_neardup_clusters": _Q47_SQL,
 }
 
 

@@ -822,3 +822,46 @@ def test_banding_for_properties_hypothesis():
         _, r = bf(t)
         assert r >= prev, (t, r, prev)
         prev = r
+
+
+def test_neardup_clusters_transitive_and_keeper(spark, tmp_path):
+    """q47's distinctive semantics vs the pair queries: TRANSITIVE grouping
+    (a~b and b~c put a,c in one cluster even when a~c itself fails the
+    threshold) and a deterministic canonical keeper (min doc_id). Chain
+    corpus: doc0~doc1, doc1~doc2 by construction; doc0 vs doc2 differ in 2
+    of 11 tokens (jaccard 9/13 = 0.692 >= 0.5 — still a pair here) plus a
+    genuinely disjoint pair (10, 11) and a loner."""
+    import duckdb
+    import pandas as pd
+
+    from real_time_anomaly_detection_spark.queries import _Q47_SQL, QUERIES
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9".split()
+    mk = lambda toks: " ".join(toks)  # noqa: E731
+    docs = pd.DataFrame(
+        [(0, mk(base + ["a0"])),
+         (1, mk(base + ["a1"])),          # ~0 (10/12)
+         (2, mk(base[1:] + ["a1", "a2"])),  # ~1; vs 0 shares 9 of 13
+         (10, mk([f"x{j}" for j in range(10)] + ["b0"])),
+         (11, mk([f"x{j}" for j in range(10)] + ["b1"])),
+         (20, mk([f"z{j}" for j in range(12)]))],
+        columns=["doc_id", "text"],
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet"))
+
+    got = QUERIES["q47_neardup_clusters"](spark, path).toPandas()
+    gm = {int(r.doc_id): (int(r.cluster_id), bool(r.is_keeper))
+          for r in got.itertuples()}
+    assert gm[0] == (0, True) and gm[1] == (0, False) and gm[2] == (0, False)
+    assert gm[10] == (10, True) and gm[11] == (10, False)
+    assert 20 not in gm  # loner: not part of any near-dup pair
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+                % os.path.join(path, "documents.parquet", "*.parquet"))
+    want = con.execute(_Q47_SQL).df()
+    wm = {int(r.doc_id): (int(r.cluster_id), bool(r.is_keeper))
+          for r in want.itertuples()}
+    assert gm == wm
