@@ -59,6 +59,7 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     q34_neardup_lsh_verified,
     q42_embedding_neardup_lsh,
     q47_neardup_clusters,
+    q48_dedup_corpus,
 )
 
 NEARDUP_BENCH_FNS = {
@@ -68,6 +69,7 @@ NEARDUP_BENCH_FNS = {
         lambda s, d: q42_embedding_neardup_lsh(s, d, threshold=0.9)
     ),
     "q47_neardup_clusters": q47_neardup_clusters,            # derived @ 0.5
+    "q48_dedup_corpus": q48_dedup_corpus,                    # derived @ 0.5
 }
 NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
     "q40_simhash_hamming",

@@ -1,0 +1,196 @@
+"""Connected components over an undirected edge list (near-dup clustering).
+
+Recasts the reference's transitive grouping of related anomalies (the verdict
+rollup walks per-station verdicts into one report, `anomaly_detector.py:
+495-576`) as the graph step a corpus-dedup pipeline actually needs: connected
+components over the verified near-duplicate pair graph, component id = min
+node id (the canonical keeper).
+
+Two interchangeable algorithms, identical output:
+
+- ``min_label``: iterative min-label propagation (the Pregel/GraphFrames
+  shape). Each round joins the label relation to the edge list and takes the
+  elementwise-min neighbor label. Rounds needed = component DIAMETER in hops
+  — right for near-clique components (typical near-dup clusters), wrong for
+  long chains: a path of d+1 docs needs d rounds, so a chain longer than
+  ``max_iters`` would converge too late.
+
+- ``star`` (default): alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  Each round is two groupBy-min + join passes over the current edge relation;
+  rounds = O(log^2 n) worst case, a small constant in practice on ANY
+  topology (a 120-hop chain converges in 5 rounds, see
+  tests/test_components.py). This is the scale-safe default: round count is
+  independent of cluster diameter, and the edge relation only contracts
+  toward one edge per non-root node.
+
+Both RAISE on non-convergence within ``max_iters`` instead of returning
+silently-wrong labels, and both keep the driver loop metadata-only (per-round
+convergence counts; every per-round relation is eagerly localCheckpoint-ed,
+which truncates LINEAGE as well as caching data — persist() alone leaves the
+logical plan doubling per round, which OOMs the driver on plan rendering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Raised when the iteration budget is exhausted before convergence —
+    returning the partial labels would be silently wrong (some nodes would
+    carry a non-minimal component id)."""
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    algorithm: str = "star",
+) -> DataFrame:
+    """Label every node appearing in ``pairs`` (first two columns = an
+    undirected edge) with the min node id of its connected component.
+
+    Returns a DataFrame (doc_id, label) with one row per distinct node.
+    """
+    a, b = pairs.columns[:2]
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    if algorithm == "star":
+        return _star_components(edges, max_iters)
+    if algorithm == "min_label":
+        return _min_label_components(edges, max_iters)
+    raise ValueError(f"unknown algorithm {algorithm!r}; use 'star' or 'min_label'")
+
+
+def _min_label_components(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label propagation; rounds = component diameter.
+
+    Each round's label relation is ``localCheckpoint``-ed (eager): persist()
+    alone caches DATA but the LOGICAL plan still nests — an iterative loop
+    whose round references the previous relation more than once doubles the
+    analyzed plan per round, and by ~10 rounds plan rendering alone OOMs the
+    driver. Checkpointing truncates lineage so plan size is O(1) per round.
+    """
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = (
+            both.join(labels, both.u == labels.doc_id)
+            .groupBy(F.col("v").alias("doc_id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
+                (F.coalesce("_nl", "label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_chg")).count()  # metadata-sized
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            return labels
+    raise ComponentsNotConverged(
+        f"min-label propagation did not converge in {max_iters} rounds — a "
+        f"component's diameter exceeds the budget; raise max_iters or use "
+        f"algorithm='star' (round count independent of diameter)"
+    )
+
+
+def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star / small-star contraction.
+
+    Invariant: ``e`` is a distinct directed edge set with u > v throughout
+    (edges point larger id -> smaller id). At convergence ``e`` is a star
+    forest: every non-root points directly at its component's min id.
+
+    Every per-round relation is ``localCheckpoint``-ed (eager) — see
+    ``_min_label_components`` for why persist() alone is not enough (plan
+    nesting doubles per round and OOMs the driver on plan RENDERING long
+    before data is a problem).
+    """
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        # large-star: for each node u, attach every LARGER neighbor v to
+        # m(u) = min(N(u) + {u}). Operates on the symmetrized neighbor list.
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m")
+        )
+        large = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: all edges already point larger -> smaller; attach every
+        # smaller neighbor AND u itself to m(u) = min of u's smaller
+        # neighbors.
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("uv")
+            )
+            .select("uv.u", "uv.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = small.count()
+        # converged iff the round was a no-op: same edge SET (distinct on
+        # both sides, so count-equal + empty one-sided difference suffices).
+        if new_n == n_edges and small.exceptAll(e).count() == 0:
+            # Guard the extraction: the fixed point must be a star forest
+            # (every child has exactly ONE parent; no parent is itself a
+            # child). Connectivity is preserved by both stages, so one star
+            # per component and root = component min then follow. Both
+            # checks are metadata-sized aggregates over the tiny relation.
+            multi_parent = (
+                small.groupBy("u").agg(F.count_distinct("v").alias("nv"))
+                .filter(F.col("nv") > 1).count()
+            )
+            chained = small.join(
+                small.select(F.col("v").alias("u")).distinct(), "u", "semi"
+            ).count()
+            if multi_parent or chained:
+                raise ComponentsNotConverged(
+                    f"star fixed point is not a star forest "
+                    f"(multi_parent={multi_parent}, chained={chained})"
+                )
+            # `small` is checkpointed (tiny: one row per non-root near-dup
+            # doc), so downstream actions read cached blocks, not lineage.
+            return small.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("label")
+            ).unionByName(
+                small.select(F.col("v").alias("doc_id"), F.col("v").alias("label")).distinct()
+            )
+        e, n_edges = small, new_n
+    raise ComponentsNotConverged(
+        f"star contraction did not converge in {max_iters} rounds "
+        f"(O(log^2 n) expected — this indicates a bug or an adversarial graph)"
+    )

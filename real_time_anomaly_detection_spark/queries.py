@@ -2679,7 +2679,8 @@ def q47_neardup_clusters(spark, sf_dir, max_bucket_size: int | None = None,
                          n_bands: int | None = None,
                          rows_per_band: int | None = None,
                          threshold: float = 0.5,
-                         max_iters: int = 25):
+                         max_iters: int = 25,
+                         algorithm: str = "star"):
     """Near-dup CLUSTERS + canonical keeper — the step that actually
     deduplicates a corpus (pairs alone do not: dropping one doc of every
     pair over-deletes transitively-linked groups and keeps no canonical
@@ -2688,67 +2689,54 @@ def q47_neardup_clusters(spark, sf_dir, max_bucket_size: int | None = None,
     emits only docs that belong to some near-dup pair (singletons are
     trivially their own keeper and would dominate the output).
 
-    Spark shape: iterative min-label propagation — labels start as each
-    node's own id; each round joins the (small: near-dup docs only) label
-    relation to the undirected edge list, takes the min neighbor label per
-    node, and keeps the elementwise min. The driver loop's only action is
-    the metadata-sized convergence count (rows whose label changed), the
-    standard Pregel/GraphFrames pattern; rounds needed = component
-    diameter in min-label hops (near-dup components are near-cliques, so
-    2-3 in practice; the large-star/small-star variant halves long chains
-    and is the known upgrade if diameters grow). Each round's label
-    relation is persisted and the previous round's released, so the plan
-    does not deepen across iterations (no lineage blowup).
+    Spark shape: `operators.components.connected_components`. Default
+    algorithm is large-star/small-star contraction (round count independent
+    of cluster diameter — the scale-safe choice); `algorithm='min_label'`
+    selects Pregel-style min-label propagation (rounds = component
+    diameter, fine for near-clique clusters). Both raise rather than return
+    silently-wrong labels on non-convergence, and both keep the driver loop
+    metadata-only (per-round convergence counts).
 
     DuckDB oracle: WITH RECURSIVE min-label reachability closure over the
     same pair SQL — component ids are algorithm-independent (min doc_id),
-    so the two engines agree exactly."""
+    so the engines agree exactly regardless of `algorithm`."""
+    from .operators.components import connected_components
+
     pairs = q34_neardup_lsh_verified(
         spark, sf_dir, max_bucket_size, salt, n_bands, rows_per_band, threshold
     ).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .withColumnRenamed("doc_a", "u")
-        .withColumnRenamed("doc_b", "v")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
-    )
-    for _ in range(max_iters):
-        prop = (
-            edges.join(labels, edges.u == labels.doc_id)
-            .groupBy(F.col("v").alias("doc_id"))
-            .agg(F.min("label").alias("_nl"))
-        )
-        new_labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
-                (F.coalesce("_nl", "label") < F.col("label")).alias("_chg"),
-            )
-            .persist()
-        )
-        changed = new_labels.filter(F.col("_chg")).count()  # metadata-sized
-        labels.unpersist()
-        labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            break
-    out = labels.select(
+    labels = connected_components(pairs, max_iters=max_iters, algorithm=algorithm)
+    return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
     )
-    return out
 
 
-_Q47_SQL = f"""
-WITH RECURSIVE base AS ({_Q34_SQL}),
+def q48_dedup_corpus(spark, sf_dir, max_bucket_size: int | None = None,
+                     salt: int | None = None,
+                     n_bands: int | None = None,
+                     rows_per_band: int | None = None,
+                     threshold: float = 0.5):
+    """The end-user dedup operation: the corpus AFTER near-dup removal —
+    every document except non-keeper members of q47's clusters (each
+    cluster survives exactly once, via its canonical min-doc_id keeper;
+    docs in no near-dup pair survive untouched).
+
+    Spark shape: left_anti join of `documents` against the non-keeper doc
+    ids. At 100 TB the right side is |near-dup docs| — metadata-scale
+    relative to the corpus — so it is explicitly broadcast and the corpus
+    itself is never shuffled: the anti-join is a map-side hash probe over
+    the scan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = q47_neardup_clusters(
+        spark, sf_dir, max_bucket_size, salt, n_bands, rows_per_band, threshold
+    )
+    drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+_CC_CTES = f"""WITH RECURSIVE base AS ({_Q34_SQL}),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM base
   UNION ALL
@@ -2756,10 +2744,22 @@ edges AS (
 reach(node, label) AS (
     SELECT DISTINCT u, u FROM edges
   UNION
-    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)"""
+
+_Q47_SQL = f"""
+{_CC_CTES}
 SELECT node AS doc_id, min(label) AS cluster_id,
        (node = min(label)) AS is_keeper
 FROM reach GROUP BY node
+"""
+
+_Q48_SQL = f"""
+{_CC_CTES},
+drop_ids AS (
+  SELECT node AS doc_id FROM reach GROUP BY node
+  HAVING node <> min(label))
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc_id = d.doc_id)
 """
 
 
@@ -2830,6 +2830,9 @@ QUERIES = {
     "q47_neardup_clusters": _pin_kwargs(
         q47_neardup_clusters, n_bands=_MH_BANDS, rows_per_band=2
     ),
+    "q48_dedup_corpus": _pin_kwargs(
+        q48_dedup_corpus, n_bands=_MH_BANDS, rows_per_band=2
+    ),
 }
 
 ORACLES = {
@@ -2876,6 +2879,7 @@ ORACLES = {
     "q44_ann_ivf_topk": _Q44_SQL,
     "q45_hash_split": _Q45_SQL,
     "q47_neardup_clusters": _Q47_SQL,
+    "q48_dedup_corpus": _Q48_SQL,
 }
 
 
