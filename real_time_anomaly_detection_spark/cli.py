@@ -13,6 +13,10 @@ Subcommands mirror the engine API (SURVEY.md §7.1):
   features    per-clip audio curation features + keep/drop filter
   stream-dedup incremental near-dup detection at ingest (new docs vs the
               accumulated corpus, MinHash-LSH candidates + exact verify)
+  dedup-apply cluster accumulated near-dup pairs (connected components,
+              star contraction) and write clusters/ + the deduplicated
+              survivors/ corpus — the terminal step of either dedup path
+              (stream-dedup's pairs root or any batch pair table)
   report      assemble the JSON report document from a verdicts table (S10)
   export-csv  CSV export of any parquet table (S9, view_data.py:163-177)
   upsert      keyed MERGE of a parquet batch into a target table (S7)
@@ -183,6 +187,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
+    p = sub.add_parser("dedup-apply")
+    _add_common(p)
+    p.add_argument("--pairs", required=True,
+                   help="near-dup pairs parquet (doc_a, doc_b) — a "
+                        "stream-dedup out/pairs root (all epochs read) or "
+                        "any batch pair table")
+    p.add_argument("--docs", required=True,
+                   help="the full documents parquet to deduplicate")
+    p.add_argument("--out", required=True,
+                   help="output root: clusters/ + survivors/")
+    p.add_argument("--algorithm", choices=["star", "min_label"],
+                   default="star",
+                   help="connected-components algorithm (star: rounds "
+                        "independent of cluster diameter — the scale-safe "
+                        "default)")
+    p.add_argument("--max-iters", type=int, default=25)
+
     p = sub.add_parser("report")
     _add_common(p)
     p.add_argument("--verdicts", required=True, help="verdicts parquet dir")
@@ -276,6 +297,32 @@ def main(argv: list[str] | None = None) -> None:
             train_planes=args.train_planes,
         )
         q.awaitTermination()
+        print(args.out)
+        return
+
+    if args.cmd == "dedup-apply":
+        from pyspark.sql import functions as F
+
+        from .operators.components import connected_components
+
+        pairs = spark.read.parquet(args.pairs).select("doc_a", "doc_b")
+        labels = connected_components(
+            pairs, max_iters=args.max_iters, algorithm=args.algorithm
+        )
+        clusters = labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+        )
+        clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+        clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
+        drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
+        docs = spark.read.parquet(args.docs)
+        # non-keeper set is metadata-scale vs the corpus: broadcast so the
+        # corpus is never shuffled (map-side anti probe over the scan)
+        docs.join(F.broadcast(drop), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.out, "survivors"))
         print(args.out)
         return
 

@@ -93,3 +93,30 @@ def test_features_cli(spark, tmp_path):
     assert feats.count() == 80 and filt.count() == 80
     assert feats.filter(~feats.decoded_ok).count() == 0  # clean synth decodes
     assert filt.filter(filt.keep).count() == 80          # synth tones pass curation
+
+
+def test_dedup_apply_cli(spark, tmp_path):
+    """dedup-apply: cluster a pairs table (epoch-partitioned, as
+    stream-dedup writes it) and emit clusters + the surviving corpus —
+    chain {0,1,2} survives as 0, pair {10,11} as 10, loner 20 untouched."""
+    pairs_root = str(tmp_path / "pairs")
+    spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long").write.parquet(
+        os.path.join(pairs_root, "epoch_id=0"))
+    spark.createDataFrame([(10, 11)], "doc_a long, doc_b long").write.parquet(
+        os.path.join(pairs_root, "epoch_id=1"))
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in (0, 1, 2, 10, 11, 20)],
+        "doc_id long, text string").write.parquet(docs)
+
+    out = str(tmp_path / "applied")
+    cli.main(["dedup-apply", "--pairs", pairs_root, "--docs", docs,
+              "--out", out])
+
+    clusters = {r.doc_id: (r.cluster_id, r.is_keeper)
+                for r in spark.read.parquet(os.path.join(out, "clusters")).collect()}
+    assert clusters == {0: (0, True), 1: (0, False), 2: (0, False),
+                        10: (10, True), 11: (10, False)}
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(out, "survivors")).collect())
+    assert survivors == [0, 10, 20]
