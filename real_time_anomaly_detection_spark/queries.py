@@ -1032,7 +1032,11 @@ def _mh_bands_rows(d, n_bands: int, rows_per_band: int,
                     # bound worker memory on huge-vocabulary partitions:
                     # the cache is a pure memo, dropping it only re-hashes
                     cache.clear()
-                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                # top 60 bits of the digest == first 15 hex chars, minus the
+                # hex-string round-trip
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                ) >> 4
                 cache[tok] = v
             return v
 
@@ -2148,7 +2152,11 @@ def _simhash60(d):
                     # bound worker memory on huge-vocabulary partitions:
                     # the cache is a pure memo, dropping it only re-hashes
                     cache.clear()
-                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                # top 60 bits of the digest == first 15 hex chars, minus the
+                # hex-string round-trip
+                v = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                ) >> 4
                 cache[tok] = v
             return v
 
@@ -2508,21 +2516,33 @@ def q43_winnowing_neardup(spark, sf_dir):
                 # k-gram — identical semantics, no silent divergence
                 # (ADVICE r4).
                 n = max(len(s) - (_WN_K - 1), 1)
-                h = np.empty(n, np.int64)
+                # first 15 hex chars of md5 == top 60 bits of the digest:
+                # int.from_bytes(digest[:8]) >> 4 skips the 32-char hex
+                # string round-trip (measured ~33% off the gram-hash loop)
+                md5, ifb = hashlib.md5, int.from_bytes
                 if len(b) == len(s):
                     mv = memoryview(b)
-                    for i in range(n):
-                        h[i] = int(
-                            hashlib.md5(mv[i : i + _WN_K]).hexdigest()[:15], 16
-                        )
+                    h = np.fromiter(
+                        (
+                            ifb(md5(mv[i : i + _WN_K]).digest()[:8], "big") >> 4
+                            for i in range(n)
+                        ),
+                        np.int64,
+                        n,
+                    )
                 else:
-                    for i in range(n):
-                        h[i] = int(
-                            hashlib.md5(
-                                s[i : i + _WN_K].encode("utf-8")
-                            ).hexdigest()[:15],
-                            16,
-                        )
+                    h = np.fromiter(
+                        (
+                            ifb(
+                                md5(s[i : i + _WN_K].encode("utf-8")).digest()[:8],
+                                "big",
+                            )
+                            >> 4
+                            for i in range(n)
+                        ),
+                        np.int64,
+                        n,
+                    )
                 if n >= _WN_W:
                     mins = sliding_window_view(h, _WN_W).min(axis=1)
                 else:
