@@ -193,3 +193,14 @@ def test_content_dedup_digest_before_exchange(spark, clips_parquet):
     assert exchanges, "expected at least one shuffle"
     for name, cols in exchanges:
         assert "bytes" not in cols, f"{name} shuffles the payload: {cols}"
+
+
+def test_dedup_corpus_broadcasts_nonkeepers_anti(spark):
+    """q48's survivor filter must be a broadcast LeftAnti probe over the
+    documents scan — the corpus is never shuffled (at 100 TB the non-keeper
+    set is metadata-scale; a shuffled anti-join would move the corpus)."""
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    p = plan_str(QUERIES["q48_dedup_corpus"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
