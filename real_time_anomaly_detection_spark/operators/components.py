@@ -120,6 +120,21 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
     nesting doubles per round and OOMs the driver on plan RENDERING long
     before data is a problem).
     """
+    def _edge_stats(df):
+        # order-independent edge-set signature: (count, xor of xxhash64) —
+        # xor, not sum, because ANSI mode raises on long-sum overflow.
+        # Comparing signatures replaces a per-round exceptAll (a full
+        # distinct-diff shuffle of the edge relation) with one aggregate.
+        # Exactness: a signature match only TRIGGERS the convergence path;
+        # the star-forest guard below then validates the shape, and any
+        # star forest this loop reaches IS a correct fixed point — so a
+        # hash collision can at worst raise, never return wrong labels.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
     e = (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
@@ -127,7 +142,7 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
+    sig = _edge_stats(e)
     for _ in range(max_iters):
         # large-star: for each node u, attach every LARGER neighbor v to
         # m(u) = min(N(u) + {u}). Operates on the symmetrized neighbor list.
@@ -161,10 +176,9 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        new_n = small.count()
-        # converged iff the round was a no-op: same edge SET (distinct on
-        # both sides, so count-equal + empty one-sided difference suffices).
-        if new_n == n_edges and small.exceptAll(e).count() == 0:
+        new_sig = _edge_stats(small)
+        # converged iff the round was a no-op (same edge-set signature)
+        if new_sig == sig:
             # Guard the extraction: the fixed point must be a star forest
             # (every child has exactly ONE parent; no parent is itself a
             # child). Connectivity is preserved by both stages, so one star
@@ -189,7 +203,7 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
             ).unionByName(
                 small.select(F.col("v").alias("doc_id"), F.col("v").alias("label")).distinct()
             )
-        e, n_edges = small, new_n
+        e, sig = small, new_sig
     raise ComponentsNotConverged(
         f"star contraction did not converge in {max_iters} rounds "
         f"(O(log^2 n) expected — this indicates a bug or an adversarial graph)"
