@@ -60,6 +60,7 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     q42_embedding_neardup_lsh,
     q47_neardup_clusters,
     q48_dedup_corpus,
+    q49_embedding_clusters,
 )
 
 NEARDUP_BENCH_FNS = {
@@ -70,6 +71,9 @@ NEARDUP_BENCH_FNS = {
     ),
     "q47_neardup_clusters": q47_neardup_clusters,            # derived @ 0.5
     "q48_dedup_corpus": q48_dedup_corpus,                    # derived @ 0.5
+    "q49_embedding_clusters": (
+        lambda s, d: q49_embedding_clusters(s, d, threshold=0.9)
+    ),
 }
 NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
     "q40_simhash_hamming",

@@ -2756,6 +2756,31 @@ def q48_dedup_corpus(spark, sf_dir, max_bucket_size: int | None = None,
     return docs.join(F.broadcast(drop), "doc_id", "left_anti")
 
 
+def q49_embedding_clusters(spark, sf_dir, max_bucket_size: int | None = None,
+                           salt: int | None = None,
+                           n_bands: int | None = None,
+                           planes_per_band: int | None = None,
+                           threshold: float = 0.45,
+                           max_iters: int = 25,
+                           algorithm: str = "star"):
+    """Embedding-modality twin of q47: connected components over the q42
+    verified cosine-near-dup pair graph (cluster_id = min vec_id, is_keeper
+    marks it) — the `operators.components` machinery is modality-agnostic,
+    so this is the same star contraction over a different pair relation.
+    Same recursive-CTE oracle pattern as q47, over _Q42_SQL."""
+    from .operators.components import connected_components
+
+    pairs = q42_embedding_neardup_lsh(
+        spark, sf_dir, max_bucket_size, salt, n_bands, planes_per_band, threshold
+    ).select("vec_a", "vec_b")
+    labels = connected_components(pairs, max_iters=max_iters, algorithm=algorithm)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 _CC_CTES = f"""WITH RECURSIVE base AS ({_Q34_SQL}),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM base
@@ -2780,6 +2805,21 @@ drop_ids AS (
   HAVING node <> min(label))
 SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc_id = d.doc_id)
+"""
+
+_Q49_SQL = f"""
+WITH RECURSIVE base AS ({_Q42_SQL}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM base
+  UNION ALL
+  SELECT vec_b, vec_a FROM base),
+reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+  UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+SELECT node AS vec_id, min(label) AS cluster_id,
+       (node = min(label)) AS is_keeper
+FROM reach GROUP BY node
 """
 
 
@@ -2853,6 +2893,10 @@ QUERIES = {
     "q48_dedup_corpus": _pin_kwargs(
         q48_dedup_corpus, n_bands=_MH_BANDS, rows_per_band=2
     ),
+    "q49_embedding_clusters": _pin_kwargs(
+        q49_embedding_clusters, n_bands=_ND_BANDS,
+        planes_per_band=_ND_PLANES_PER_BAND
+    ),
 }
 
 ORACLES = {
@@ -2900,6 +2944,7 @@ ORACLES = {
     "q45_hash_split": _Q45_SQL,
     "q47_neardup_clusters": _Q47_SQL,
     "q48_dedup_corpus": _Q48_SQL,
+    "q49_embedding_clusters": _Q49_SQL,
 }
 
 
