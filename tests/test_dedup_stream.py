@@ -440,3 +440,26 @@ def test_store_lineage_detects_mismatch_and_loss(spark, tmp_path):
     after = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
     assert after == before
     assert dedup_stream.verify_store_lineage(out, ckpt)["epochs"] == [0, 1]
+
+
+def test_dedup_apply_over_streamed_pairs(spark, tmp_path):
+    """End-to-end contract between the two CLIs: dedup-apply consumes
+    stream-dedup's pairs root AS WRITTEN (column names, epoch partitioning)
+    and produces the transitively-deduplicated survivor corpus. With pairs
+    (1,2),(1,10),(2,10),(3,11): clusters {1,2,10}->1 and {3,11}->3 survive
+    via keepers; 12 (no pair) survives untouched."""
+    from real_time_anomaly_detection_spark import cli
+
+    src, out, _ = _drain(spark, tmp_path, [_docs(BATCH1), _docs(BATCH2)])
+    docs = str(tmp_path / "all_docs")
+    spark.createDataFrame(_docs(BATCH1 + BATCH2)).write.parquet(docs)
+
+    applied = str(tmp_path / "applied")
+    cli.main(["dedup-apply", "--pairs", os.path.join(out, "pairs"),
+              "--docs", docs, "--out", applied])
+
+    survivors = sorted(
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(applied, "survivors")).collect()
+    )
+    assert survivors == [1, 3, 12]
