@@ -203,6 +203,16 @@ def main(argv: list[str] | None = None) -> None:
                         "independent of cluster diameter — the scale-safe "
                         "default)")
     p.add_argument("--max-iters", type=int, default=25)
+    p.add_argument("--broadcast", choices=["auto", "always", "never"],
+                   default="auto",
+                   help="survivor anti-join strategy: auto counts the "
+                        "non-keeper set and broadcasts only below "
+                        "--broadcast-max-rows; never forces the shuffled "
+                        "sort-merge path (right at real 30-80%% dup rates "
+                        "where the drop set is corpus-scale)")
+    p.add_argument("--broadcast-max-rows", type=int, default=10_000_000,
+                   help="auto-mode gate on the non-keeper row count "
+                        "(components.BROADCAST_MAX_DROP_ROWS)")
 
     p = sub.add_parser("report")
     _add_common(p)
@@ -303,7 +313,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "dedup-apply":
         from pyspark.sql import functions as F
 
-        from .operators.components import connected_components
+        from .operators.components import connected_components, drop_non_keepers
 
         pairs = spark.read.parquet(args.pairs).select("doc_a", "doc_b")
         labels = connected_components(
@@ -318,11 +328,15 @@ def main(argv: list[str] | None = None) -> None:
         clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
         drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
         docs = spark.read.parquet(args.docs)
-        # non-keeper set is metadata-scale vs the corpus: broadcast so the
-        # corpus is never shuffled (map-side anti probe over the scan)
-        docs.join(F.broadcast(drop), "doc_id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(args.out, "survivors"))
+        # survivor anti-join strategy gated on drop-set size: broadcast
+        # (map-side probe, corpus unshuffled) only when the non-keeper set
+        # is small; shuffled sort-merge otherwise — at real 30-80% dup
+        # rates the drop set is corpus-scale and a broadcast would OOM
+        bcast = {"auto": None, "always": True, "never": False}[args.broadcast]
+        drop_non_keepers(
+            docs, drop, broadcast=bcast,
+            broadcast_max_rows=args.broadcast_max_rows,
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "survivors"))
         print(args.out)
         return
 

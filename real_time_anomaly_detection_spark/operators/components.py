@@ -208,3 +208,41 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
         f"star contraction did not converge in {max_iters} rounds "
         f"(O(log^2 n) expected — this indicates a bug or an adversarial graph)"
     )
+
+
+BROADCAST_MAX_DROP_ROWS = 10_000_000
+
+
+def drop_non_keepers(
+    docs: DataFrame,
+    drop: DataFrame,
+    key: str = "doc_id",
+    broadcast: bool | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_DROP_ROWS,
+) -> DataFrame:
+    """Survivor filter: ``docs`` LEFT ANTI ``drop``, join strategy gated on
+    the drop-set size.
+
+    At real LLM dedup rates the non-keeper set is NOT metadata-scale: 30-80%
+    of a web corpus is near-duplicate, so ``drop`` can be billions of ids
+    and an unconditional ``F.broadcast`` is a driver/executor OOM — not a
+    slow path. Same auto/knob contract as ``referential._hint``:
+
+    - ``broadcast=True``: force BroadcastHashJoin LeftAnti — a map-side hash
+      probe over the corpus scan, zero corpus shuffle. Right only when
+      |drop| is known-small (synthetic corpora, spot dedup).
+    - ``broadcast=False``: force shuffle_merge — SortMergeJoin LeftAnti;
+      both sides shuffle on ``key`` but memory stays bounded at ANY dup
+      rate. The corpus shuffle is ids+payload once, the unavoidable cost
+      when the drop set itself exceeds executor memory.
+    - ``broadcast=None`` (default): count the drop set and pick. The count
+      is cheap — after ``connected_components`` the labels are
+      localCheckpoint-backed, so it reads cached blocks, not the LSH
+      pipeline lineage. Default gate 1e7 ids (~a few hundred MB as a
+      broadcast hash relation) stays far below executor heap while covering
+      every metadata-scale case.
+    """
+    if broadcast is None:
+        broadcast = drop.count() <= broadcast_max_rows
+    hinted = F.broadcast(drop) if broadcast else drop.hint("shuffle_merge")
+    return docs.join(hinted, key, "left_anti")

@@ -2737,23 +2737,32 @@ def q48_dedup_corpus(spark, sf_dir, max_bucket_size: int | None = None,
                      salt: int | None = None,
                      n_bands: int | None = None,
                      rows_per_band: int | None = None,
-                     threshold: float = 0.5):
+                     threshold: float = 0.5,
+                     broadcast: bool | None = None,
+                     broadcast_max_rows: int | None = None):
     """The end-user dedup operation: the corpus AFTER near-dup removal —
     every document except non-keeper members of q47's clusters (each
     cluster survives exactly once, via its canonical min-doc_id keeper;
     docs in no near-dup pair survive untouched).
 
     Spark shape: left_anti join of `documents` against the non-keeper doc
-    ids. At 100 TB the right side is |near-dup docs| — metadata-scale
-    relative to the corpus — so it is explicitly broadcast and the corpus
-    itself is never shuffled: the anti-join is a map-side hash probe over
-    the scan."""
+    ids, strategy gated on drop-set size via
+    `operators.components.drop_non_keepers`. At real LLM dedup rates
+    (30-80% of a web corpus is near-duplicate) the non-keeper set is NOT
+    metadata-scale — billions of ids — so the broadcast map-side probe is
+    only taken below `broadcast_max_rows` (default 1e7); above it the
+    anti-join runs as a shuffled sort-merge, which moves the corpus once
+    but never materializes the drop set in memory. `broadcast=True/False`
+    forces either regime."""
+    from .operators.components import drop_non_keepers
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
     clusters = q47_neardup_clusters(
         spark, sf_dir, max_bucket_size, salt, n_bands, rows_per_band, threshold
     )
     drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    kw = {} if broadcast_max_rows is None else {"broadcast_max_rows": broadcast_max_rows}
+    return drop_non_keepers(docs, drop, broadcast=broadcast, **kw)
 
 
 def q49_embedding_clusters(spark, sf_dir, max_bucket_size: int | None = None,

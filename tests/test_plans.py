@@ -196,11 +196,54 @@ def test_content_dedup_digest_before_exchange(spark, clips_parquet):
 
 
 def test_dedup_corpus_broadcasts_nonkeepers_anti(spark):
-    """q48's survivor filter must be a broadcast LeftAnti probe over the
-    documents scan — the corpus is never shuffled (at 100 TB the non-keeper
-    set is metadata-scale; a shuffled anti-join would move the corpus)."""
+    """q48's survivor filter in the SMALL-drop-set regime must be a
+    broadcast LeftAnti probe over the documents scan — the corpus is never
+    shuffled. The bench corpora (~1% near-dup) sit in this regime, so the
+    default auto gate must resolve to broadcast here."""
     from real_time_anomaly_detection_spark.queries import QUERIES
 
     p = plan_str(QUERIES["q48_dedup_corpus"](spark, SF))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dedup_corpus_shuffles_above_broadcast_gate(spark):
+    """q48's survivor filter in the LARGE-drop-set regime (real LLM dedup:
+    30-80% of the corpus is non-keeper — billions of ids) must NOT broadcast:
+    the auto gate, forced low, has to fall back to a shuffled sort-merge
+    LeftAnti, which bounds memory at any dup rate. Regression guard for the
+    r5 unconditional-broadcast OOM."""
+    from real_time_anomaly_detection_spark.queries import q48_dedup_corpus
+
+    def smj_anti(p):
+        # the anti-join itself must be the sort-merge node (q47's internal
+        # LSH-cap broadcasts legitimately remain elsewhere in the plan)
+        return any(
+            "SortMergeJoin" in line and "LeftAnti" in line
+            for line in p.splitlines()
+        )
+
+    p = plan_str(q48_dedup_corpus(spark, SF, broadcast_max_rows=0))
+    assert smj_anti(p), p
+    # the explicit knob must force the same plan without any count
+    p2 = plan_str(q48_dedup_corpus(spark, SF, broadcast=False))
+    assert smj_anti(p2), p2
+
+
+def test_drop_non_keepers_regimes_agree(spark):
+    """Both join regimes must return identical survivors (strategy is a
+    physical choice, never a semantic one)."""
+    from real_time_anomaly_detection_spark.operators.components import (
+        drop_non_keepers,
+    )
+
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    drop = spark.range(0, 100, 3).withColumnRenamed("id", "doc_id")
+    kept_b = sorted(r.doc_id for r in drop_non_keepers(docs, drop, broadcast=True).collect())
+    kept_s = sorted(r.doc_id for r in drop_non_keepers(docs, drop, broadcast=False).collect())
+    kept_auto = sorted(
+        r.doc_id
+        for r in drop_non_keepers(docs, drop, broadcast_max_rows=0).collect()
+    )
+    assert kept_b == kept_s == kept_auto
+    assert len(kept_b) == 66 and 0 not in kept_b and 1 in kept_b
