@@ -118,7 +118,51 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         t0 = time.perf_counter()
         _force(fn(spark, src))
         out[name] = round(time.perf_counter() - t0, 3)
+        # queries persist() their multi-referenced intermediates and cannot
+        # unpersist before returning; clear between queries so the bench
+        # session doesn't accumulate cached relations across the suite
+        spark.catalog.clearCache()
     return out
+
+
+def q46_evidence(spark, sf_dir: str) -> dict:
+    """n_cells / nprobe / MEASURED recall for the q46 timing (VERDICT r5
+    #6): the sqrt-n cell count changes cost round-over-round, so the bench
+    artifact must carry the recall those cells buy. Ground truth is a
+    driver-side numpy brute force over the full embeddings table — the
+    corpora benched here are metadata-sized (2k-8k vectors); the q46 result
+    itself is probe-set-sized, so the collect is bounded."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from real_time_anomaly_detection_spark.queries import (
+        _IVF_NPROBE,
+        _ivf_cells_for,
+        q46_ann_ivf_trained,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").to_pylist())
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(vid, kind="stable")
+    vid, x = vid[order], x[order]
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    idx = {int(v): i for i, v in enumerate(vid)}
+
+    by_probe: dict[int, set[int]] = {}
+    for r in q46_ann_ivf_trained(spark, sf_dir).collect():
+        by_probe.setdefault(int(r.probe_id), set()).add(int(r.cand_id))
+    k = max(len(s) for s in by_probe.values())
+    hits = tot = 0
+    for p, cands in by_probe.items():
+        sims = xn @ xn[idx[p]]
+        sims[idx[p]] = -np.inf
+        truth = {int(vid[i]) for i in np.lexsort((vid, -sims))[:k]}
+        hits += len(cands & truth)
+        tot += k
+    return {"n_cells": _ivf_cells_for(len(x)), "nprobe": _IVF_NPROBE,
+            "topk": k, "recall": round(hits / tot, 3)}
 
 
 def clips_table(spark, n_clips: int):
@@ -132,7 +176,7 @@ def clips_table(spark, n_clips: int):
     return cfg, spark.read.parquet(path), spark.read.parquet(path + "_refs")
 
 
-def bench_validation(spark, n_clips: int) -> tuple[float, int]:
+def bench_validation(spark, n_clips: int) -> tuple[list[float], int]:
     """Time the full constraint-validation pipeline (the north-rule metric).
 
     A small warm-up validation runs first (JIT/codegen compilation, python
@@ -183,7 +227,12 @@ def main() -> None:
     sel = os.environ.get("BENCH_QUERIES")
     names = sel.split(",") if sel else [q for q in QUERIES if q not in ORACLE_TWINS]
 
-    spark = get_spark("rtad-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # no console progress bars: the driver parses the metric line from
+    # stdout, and the \r-rewritten stage bars broke that parse in r5
+    spark = get_spark(
+        "rtad-bench", cores=cpus, shuffle_partitions=max(cpus, 8),
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
     # warm the JVM/codegen path once on the smallest inputs, and spawn the
     # Python/Arrow workers (a size-independent one-time session cost that a
     # long-running cluster never re-pays — same rationale as the validation
@@ -232,8 +281,8 @@ def main() -> None:
 
     total = round(sum(qtimes.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    q46x = q46_evidence(spark, sf_dir) if "q46_ann_ivf_trained" in names else None
+    payload = (
             {
                 "metric": "e2e_suite_sec",
                 "value": total,
@@ -261,8 +310,19 @@ def main() -> None:
                     "scaling_evidence_file": "BENCH/BASELINE.md",
                 },
             }
-        )
     )
+    if q46x is not None:
+        payload["extra"]["q46_ann_ivf_trained"] = q46x
+    line = json.dumps(payload)
+    # the metric line is ALSO written to a dedicated file so round-over-round
+    # comparison never depends on scraping a shared stdout (VERDICT r5 #2;
+    # r5's driver parse failed on stage-progress \r noise)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "last_run.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
