@@ -892,7 +892,7 @@ def _banding_for(threshold: float, per_row_prob=None,
     curve at the cost of proportionally more hashes/planes; 8 keeps the
     derived configs in the range the round-4 planted-corpus measurements
     validated (cosine 0.9 -> 7x13 vs the hand-tuned 6x12; Jaccard 0.9 ->
-    6x19 vs datasketch's 128-perm default)."""
+    7x19 vs datasketch's 128-perm default)."""
     import math
 
     t = per_row_prob(threshold) if per_row_prob else threshold
@@ -1584,6 +1584,10 @@ def _nd_bands_rows(e, n_bands: int, planes_per_band: int,
 
     def bands_batches(batches):
         for pdf in batches:
+            # null-embedding rows: the Catalyst twin emits no rows for them
+            # (explode of a null array) — drop before np.stack, which would
+            # otherwise raise on the None and fail the whole task/epoch
+            pdf = pdf[pdf[emb_col].notna()]
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -1822,6 +1826,10 @@ def _ivf_topk_from_cents(e, cents, nprobe: int = _IVF_NPROBE):
 
         def rank_batches(batches):
             for pdf in batches:
+                # null embeddings rank no cells on the Catalyst path (null
+                # _cells -> join drops the row) — mirror that by dropping
+                # them here instead of letting np.stack raise
+                pdf = pdf[pdf["emb"].notna()]
                 if not len(pdf):
                     continue
                 embs = np.stack(pdf["emb"].to_numpy())

@@ -255,6 +255,26 @@ def _check_store_meta(out_dir: str, meta: dict) -> None:
                 "or point out_dir at a fresh location."
             )
     else:
+        # no meta, but stores already populated: a marker-less store built
+        # by pre-marker code must NOT silently adopt the currently-resolved
+        # geometry — the resolved defaults may differ from whatever built
+        # the store (e.g. threshold-derived banding vs the old implicit
+        # 4x2/6x2), which is exactly the cross-batch-pair-dropping failure
+        # this guard exists to prevent
+        populated = [
+            d for d in ("bands_store", "payload_store")
+            if _epoch_dirs(os.path.join(out_dir, d))
+        ]
+        if populated:
+            raise ValueError(
+                f"store at {out_dir!r} has committed epochs in {populated} "
+                f"but no {STORE_META_FILE}: it predates the layout marker, "
+                "and adopting the current defaults could silently change "
+                "the geometry it was built with. Backfill the marker with "
+                "the legacy values (write store_meta.json matching the "
+                "original run's modality/store_buckets/banding) or start a "
+                "fresh out_dir."
+            )
         os.makedirs(out_dir, exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -385,10 +405,18 @@ def _train_cov_planes(batch_df: DataFrame, n_planes: int) -> list:
 
     pdf = (
         batch_df.select("doc_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
         .orderBy("doc_id")
         .limit(_PLANES_SAMPLE_CAP)
         .toPandas()
     )
+    if not len(pdf):
+        # an all-null first batch trains nothing: fall back to the fixed
+        # LCG planes (unit rows of g), identical to train_planes=False
+        g = np.asarray(_nd_planes(n_planes), dtype=np.float64)
+        gn = np.linalg.norm(g, axis=1, keepdims=True)
+        gn[gn == 0] = 1.0
+        return [[float(a) for a in row] for row in g / gn]
     x = np.stack(pdf["embedding"].apply(lambda v: np.asarray(v, dtype=np.float64)))
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0

@@ -334,6 +334,31 @@ def test_store_meta_pins_layout_parameters(spark, tmp_path):
         dedup_stream.stream_dedup(spark, src, ckpt, out, modality="embedding")
 
 
+def test_markerless_populated_store_raises(spark, tmp_path):
+    """ADVICE r5 (medium): a store with committed epochs but NO
+    store_meta.json (built by pre-marker code) must not silently adopt the
+    currently-resolved geometry — the resolved defaults may differ from
+    whatever built the store, which is the cross-batch-pair-dropping
+    failure the marker exists to prevent. Backfilling the legacy meta (or a
+    fresh out_dir) is the documented unblock."""
+    import pytest
+
+    src, out, ckpt = _drain(spark, tmp_path, [_docs(BATCH1)])
+    meta_path = os.path.join(out, dedup_stream.STORE_META_FILE)
+    stored = open(meta_path).read()
+    os.remove(meta_path)  # simulate a pre-marker store
+
+    spark.createDataFrame(_docs(BATCH2)).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="predates the layout marker"):
+        dedup_stream.stream_dedup(spark, src, ckpt, out)
+
+    # backfilling the legacy meta unblocks the resume
+    with open(meta_path, "w") as f:
+        f.write(stored)
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+
+
 def test_trained_planes_beat_fixed_at_equal_bands(spark, tmp_path):
     """VERDICT r4 #6: covariance-matched planes trained on the first epoch's
     bounded sample must recover MORE planted cross/within-batch pairs than

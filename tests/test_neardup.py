@@ -865,3 +865,32 @@ def test_neardup_clusters_transitive_and_keeper(spark, tmp_path):
     wm = {int(r.doc_id): (int(r.cluster_id), bool(r.is_keeper))
           for r in want.itertuples()}
     assert gm == wm
+
+
+def test_numpy_band_paths_null_embedding_parity(spark):
+    """ADVICE r5: the wide-geometry numpy mapInPandas paths must keep the
+    Catalyst null semantics — a null embedding row emits NO band rows /
+    ranks NO cells, instead of np.stack raising in the executor and failing
+    the whole batch (one null row in a streamed epoch previously killed the
+    epoch)."""
+    from real_time_anomaly_detection_spark.queries import (
+        _ivf_topk_from_cents,
+        _nd_bands_rows,
+        _nd_planes,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)]) for i in range(6)]
+    rows.append((99, None))
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    # wide cosine banding (> 12 planes forces the numpy path)
+    bands = _nd_bands_rows(e, 7, 3, id_col="vec_id").toPandas()
+    assert len(bands) == 6 * 7  # one row per (non-null doc, band)
+    assert 99 not in set(bands["doc_id"])
+
+    # >16-cell IVF ranking forces the numpy rank_batches path
+    planes = _nd_planes(17)
+    cents = [(c, tuple(planes[c])) for c in range(17)]
+    topk = _ivf_topk_from_cents(e, cents, nprobe=2).toPandas()
+    assert 99 not in set(topk["probe_id"]) and 99 not in set(topk["cand_id"])
+    assert len(topk) > 0

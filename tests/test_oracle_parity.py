@@ -69,6 +69,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
+    # queries persist() multi-referenced intermediates and cannot unpersist
+    # before returning — clear between cases so a 49-query module doesn't
+    # accumulate cached relations until LRU churn (ADVICE r5)
+    spark.catalog.clearCache()
     spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
     duck_pdf = ddb.sql(_oracle_for(name)).df()
     a, b = normalize(spark_pdf), normalize(duck_pdf)
