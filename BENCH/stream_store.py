@@ -74,15 +74,19 @@ def main() -> None:
     ap.add_argument("--dups-per-epoch", type=int, default=20)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--keep", action="store_true", help="keep work dir")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run: one epoch on the aged store, "
+                         "compact, one epoch on the compacted store")
     args = ap.parse_args()
 
     # The re-upload source index (epoch*n_dups+i) must stay inside epoch-0's
     # unique-doc range, or late epochs would "re-upload" docs that never
     # existed and the constant-candidate-volume invariant silently breaks.
-    if args.epochs * args.dups_per_epoch > args.docs_per_epoch - args.dups_per_epoch:
+    eff_epochs = args.epochs + (2 if args.compact else 0)  # --compact adds 2
+    if eff_epochs * args.dups_per_epoch > args.docs_per_epoch - args.dups_per_epoch:
         ap.error(
             "epochs*dups_per_epoch must be <= docs_per_epoch - dups_per_epoch "
-            f"({args.epochs}*{args.dups_per_epoch} > "
+            f"({eff_epochs}*{args.dups_per_epoch} > "
             f"{args.docs_per_epoch - args.dups_per_epoch}): re-uploads would "
             "reference epoch-0 docs that were never ingested"
         )
@@ -97,6 +101,7 @@ def main() -> None:
         "stream-store-bench", cores=args.cores, shuffle_partitions=max(args.cores, 8)
     )
     walls, pair_counts = [], []
+    compaction = None
     total_pairs = 0
     try:
         for epoch in range(args.epochs):
@@ -120,6 +125,44 @@ def main() -> None:
                 f"{pair_counts[-1]} | {walls[-1]} |",
                 flush=True,
             )
+
+        if args.compact:
+            # compaction evidence (VERDICT r5 #3): one extra epoch on the
+            # AGED store, then compact, then the same-volume epoch on the
+            # compacted store — the delta is the listing/footer cost the
+            # one-file-per-bucket-per-epoch growth was charging every epoch
+            from real_time_anomaly_detection_spark.streaming.dedup_stream import (
+                compact_store,
+            )
+
+            def one_epoch(epoch):
+                rows = synth_epoch(epoch, args.docs_per_epoch, args.dups_per_epoch)
+                spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                    1
+                ).write.mode("append").parquet(in_dir)
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                q = stream_dedup(spark, in_dir, ckpt, out_dir)
+                q.awaitTermination()
+                return round(time.perf_counter() - t0, 2)
+
+            aged_wall = one_epoch(args.epochs)
+            t0 = time.perf_counter()
+            r = compact_store(spark, out_dir, ckpt)
+            compact_wall = round(time.perf_counter() - t0, 2)
+            pairs_pre = spark.read.parquet(os.path.join(out_dir, "pairs")).count()
+            compacted_wall = one_epoch(args.epochs + 1)
+            pairs_post = spark.read.parquet(os.path.join(out_dir, "pairs")).count()
+            compaction = {
+                "aged_epoch_wall": aged_wall,
+                "compacted_epoch_wall": compacted_wall,
+                "compact_wall": compact_wall,
+                "files_before": r["files_before"],
+                "files_after": r["files_after"],
+                "pairs_delta_post_compact": pairs_post - pairs_pre,
+            }
+            print(f"compaction: {json.dumps(compaction)}", flush=True)
     finally:
         spark.stop()
         if not args.keep:
@@ -135,6 +178,7 @@ def main() -> None:
                 "dups_per_epoch": args.dups_per_epoch,
                 "final_store_docs": args.epochs * args.docs_per_epoch,
                 "cores": args.cores,
+                "compaction": compaction,
             }
         )
     )

@@ -17,6 +17,14 @@ Subcommands mirror the engine API (SURVEY.md §7.1):
               star contraction) and write clusters/ + the deduplicated
               survivors/ corpus — the terminal step of either dedup path
               (stream-dedup's pairs root or any batch pair table)
+  cluster-update  incrementally fold NEW pairs epochs into persisted
+              cluster labels (star forest reused as state — per-update cost
+              tracks new-pair volume, not accumulated-pair volume); safe to
+              run on a cron beside stream-dedup
+  compact     rewrite the stream-dedup bands/payload stores to one file per
+              bucket (file count otherwise grows one-per-bucket-per-epoch
+              forever); crash-safe stage-then-swap, run with the stream
+              stopped
   report      assemble the JSON report document from a verdicts table (S10)
   export-csv  CSV export of any parquet table (S9, view_data.py:163-177)
   upsert      keyed MERGE of a parquet batch into a target table (S7)
@@ -214,6 +222,22 @@ def main(argv: list[str] | None = None) -> None:
                    help="auto-mode gate on the non-keeper row count "
                         "(components.BROADCAST_MAX_DROP_ROWS)")
 
+    p = sub.add_parser("cluster-update")
+    _add_common(p)
+    p.add_argument("--pairs", required=True,
+                   help="pairs root with epoch_id=N dirs (stream-dedup out)")
+    p.add_argument("--out", required=True,
+                   help="clusters root: clusters_store/ + clusters_head.json")
+    p.add_argument("--max-iters", type=int, default=25)
+
+    p = sub.add_parser("compact")
+    _add_common(p)
+    p.add_argument("--out", required=True,
+                   help="stream-dedup out root (stores + lineage)")
+    p.add_argument("--checkpoint", required=True,
+                   help="the stream's checkpoint dir (bounds the fold to "
+                        "committed epochs)")
+
     p = sub.add_parser("report")
     _add_common(p)
     p.add_argument("--verdicts", required=True, help="verdicts parquet dir")
@@ -338,6 +362,21 @@ def main(argv: list[str] | None = None) -> None:
             broadcast_max_rows=args.broadcast_max_rows,
         ).write.mode("overwrite").parquet(os.path.join(args.out, "survivors"))
         print(args.out)
+        return
+
+    if args.cmd == "cluster-update":
+        from .streaming.clusters import update_clusters
+
+        print(json.dumps(
+            update_clusters(spark, args.pairs, args.out,
+                            max_iters=args.max_iters)
+        ))
+        return
+
+    if args.cmd == "compact":
+        from .streaming.dedup_stream import compact_store
+
+        print(json.dumps(compact_store(spark, args.out, args.checkpoint)))
         return
 
     if args.cmd == "features":

@@ -246,3 +246,35 @@ def drop_non_keepers(
         broadcast = drop.count() <= broadcast_max_rows
     hinted = F.broadcast(drop) if broadcast else drop.hint("shuffle_merge")
     return docs.join(hinted, key, "left_anti")
+
+
+def incremental_components(
+    pairs_new: DataFrame,
+    labels_prev: DataFrame | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over (all previously-labelled edges) ∪ (an
+    epoch's NEW pairs), reusing the previous run's labels instead of the
+    accumulated pair graph.
+
+    The (doc_id, label) relation ``connected_components`` returns IS a star
+    forest: every non-root row (doc_id != label) is an edge pointing a node
+    at its component's min id, and that edge set preserves the accumulated
+    graph's connectivity exactly (each component contracts to one star).
+    So CC(forest ∪ new_pairs) == CC(all accumulated pairs) — the batch
+    answer — while the input is |labelled docs| + |new pairs| rows,
+    independent of how many epochs of pairs have accumulated. A forest plus
+    a few new edges re-converges in ~1-2 star rounds (the forest is already
+    a fixed point; only components touched by new edges move).
+
+    ``labels_prev`` is a prior return of this function /
+    ``connected_components`` / a clusters_store snapshot; None degrades to
+    plain batch CC over ``pairs_new``."""
+    a, b = pairs_new.columns[:2]
+    edges = pairs_new.select(a, b)
+    if labels_prev is not None:
+        forest = labels_prev.filter(F.col("doc_id") != F.col("label")).select(
+            F.col("doc_id").alias(a), F.col("label").alias(b)
+        )
+        edges = edges.unionByName(forest)
+    return connected_components(edges, max_iters=max_iters)

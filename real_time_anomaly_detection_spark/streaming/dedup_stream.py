@@ -346,6 +346,14 @@ def verify_store_lineage(out_dir: str, checkpoint_dir: str) -> dict:
       append — the retry overwrites it); below the committed head it means
       corruption.
 
+    Compaction (``compact_store``) folds store epochs <= its record's
+    ``compacted_through`` into the single epoch dir ``epoch_id=T``; with the
+    record present, the stores are required to hold {T} plus every lineage
+    epoch above T (pairs/ is never compacted — all lineage epochs stay
+    required there). A half-finished compaction (no record yet, stores
+    already rewritten) therefore fails the missing-epochs check LOUDLY;
+    re-running compact_store heals it.
+
     Returns {"epochs": [...], "checkpoint_commits": [...]} when consistent;
     raises ValueError otherwise. Runs automatically at stream start."""
     lineage = {r["epoch_id"] for r in store_snapshots(out_dir)}
@@ -367,14 +375,21 @@ def verify_store_lineage(out_dir: str, checkpoint_dir: str) -> dict:
             "out_dir."
         )
     head = max(lineage) if lineage else -1
+    ct = compacted_through(out_dir)
     for artifact in ("pairs", "bands_store", "payload_store"):
         root = os.path.join(out_dir, artifact)
-        missing = lineage - _epoch_dirs(root)
+        required = lineage
+        if artifact != "pairs" and ct >= 0:
+            # compacted stores hold one merged dir at epoch_id=ct plus any
+            # epochs committed after the compaction
+            required = {e for e in lineage if e > ct} | ({ct} & lineage)
+        missing = required - _epoch_dirs(root)
         if missing:
             raise ValueError(
                 f"committed epochs {sorted(missing)} are missing from "
                 f"{artifact} — state lost after commit (the snapshot is "
-                "written only after every epoch artifact is on disk)"
+                "written only after every epoch artifact is on disk), or a "
+                "compaction crashed mid-swap (re-run compact_store to heal)"
             )
         orphans = {
             e for e in _epoch_dirs(root) if e not in lineage and e <= head
@@ -385,6 +400,152 @@ def verify_store_lineage(out_dir: str, checkpoint_dir: str) -> dict:
                 f"below the committed lineage head {head} — store corruption"
             )
     return {"epochs": sorted(lineage), "checkpoint_commits": sorted(commits)}
+
+
+COMPACTION_FILE = "compaction.json"
+
+
+def compacted_through(out_dir: str) -> int:
+    """Epoch through which compact_store folded the stores; -1 if never."""
+    path = os.path.join(out_dir, COMPACTION_FILE)
+    if not os.path.exists(path):
+        return -1
+    with open(path) as f:
+        return int(json.load(f)["compacted_through"])
+
+
+def _store_files(root: str) -> int:
+    n = 0
+    for _, _, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def _swap_in(root: str, stage_root: str, t: int) -> None:
+    """Commit a READY stage: remove the folded source epoch dirs, then
+    rename the staged epoch_id=<t> dir into the store."""
+    import shutil
+
+    for e in sorted(_epoch_dirs(root)):
+        if e <= t:
+            shutil.rmtree(os.path.join(root, f"epoch_id={e}"))
+    os.rename(os.path.join(stage_root, f"epoch_id={t}"),
+              os.path.join(root, f"epoch_id={t}"))
+
+
+def _compact_one(spark: SparkSession, root: str, target: int,
+                 shape_fn, n_buckets: int) -> None:
+    """Fold every epoch dir <= target of ONE store into a single
+    epoch_id=<target> dir, one file per bucket partition.
+
+    Crash-safe resume: the folded relation is STAGED under
+    root/.compacting/epoch_id=<target> (a dot-dir, invisible to Spark's
+    reader) and only once its _SUCCESS marker exists are the source epoch
+    dirs removed and the staged dir renamed in (_swap_in). A re-run after
+    any crash either resumes the staged swap (stage complete — nothing is
+    recomputed), or recomputes from the untouched source dirs (stage
+    incomplete — nothing was deleted yet). A READY stage for an OLDER
+    target is committed first, never discarded: its rows may be the only
+    copy of source dirs the interrupted run already deleted."""
+    import shutil
+
+    stage_root = os.path.join(root, ".compacting")
+    if os.path.isdir(stage_root):
+        for d in os.listdir(stage_root):
+            if not d.startswith("epoch_id="):
+                continue
+            t_old = int(d.split("=", 1)[1])
+            if t_old != target and os.path.exists(
+                os.path.join(stage_root, d, "_SUCCESS")
+            ):
+                _swap_in(root, stage_root, t_old)
+    stage = os.path.join(stage_root, f"epoch_id={target}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        if os.path.isdir(stage_root):
+            shutil.rmtree(stage_root)  # partial stage: sources untouched
+        folded = shape_fn(
+            spark.read.parquet(root).filter(F.col("epoch_id") <= target)
+        )
+        part_col = "sbucket" if "sbucket" in folded.columns else "pbucket"
+        (
+            folded.repartition(n_buckets, F.col(part_col))
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(stage)
+        )
+    _swap_in(root, stage_root, target)
+    shutil.rmtree(stage_root, ignore_errors=True)
+
+
+def compact_store(spark: SparkSession, out_dir: str,
+                  checkpoint_dir: str) -> dict:
+    """Rewrite the accumulated bands/payload stores to ONE file per bucket
+    (VERDICT r5 #3): the epoch writes append one file per bucket per epoch,
+    so listing/footer cost grows with store AGE even when partition pruning
+    keeps scanned BYTES flat (r3 measured +35% epoch wall by epoch 9 from
+    file count alone). Run with the stream stopped.
+
+    Read semantics are preserved exactly:
+    - bands: the candidate join consumes the (doc_id, band, bucket) SET, so
+      folding is a DISTINCT across epochs — stale band rows of re-ingested
+      docs are kept (they can still surface candidates whose verify runs
+      against the keep-latest payload, exactly as before);
+    - payload: the read side keeps max-epoch per doc, so folding applies
+      keep-latest per doc_id before collapsing to the target epoch.
+
+    Folded rows land in epoch_id=T, T = min(lineage head, last
+    checkpoint-committed batch): an in-flight epoch (stores written,
+    checkpoint commit missing) stays UNfolded so its retry still excludes
+    its own partial state via the `epoch_id < current` read filter.
+
+    Crash-safety: stage-then-swap per store (_compact_one), the
+    compaction record committed LAST. Any mid-swap crash fails the next
+    stream start loudly (verify_store_lineage's missing-epochs check) and
+    re-running compact_store heals it."""
+    lineage = {r["epoch_id"] for r in store_snapshots(out_dir)}
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    commits = set()
+    if os.path.isdir(commits_dir):
+        for f in os.listdir(commits_dir):
+            if f.isdigit():
+                commits.add(int(f))
+    if not lineage or not commits:
+        return {"compacted_through": compacted_through(out_dir),
+                "skipped": "no committed epochs"}
+    target = min(max(lineage), max(commits))
+    with open(os.path.join(out_dir, STORE_META_FILE)) as f:
+        n_buckets = json.load(f)["store_buckets"]
+
+    bands_root = os.path.join(out_dir, "bands_store")
+    pay_root = os.path.join(out_dir, "payload_store")
+    files_before = _store_files(bands_root) + _store_files(pay_root)
+
+    latest = Window.partitionBy("doc_id")
+
+    def bands_shape(df):
+        return df.select("doc_id", "band", "bucket", "sbucket").distinct()
+
+    def pay_shape(df):
+        return (
+            df.withColumn("_mx", F.max("epoch_id").over(latest))
+            .filter(F.col("epoch_id") == F.col("_mx"))
+            .select("doc_id", "payload", "pbucket")
+        )
+
+    for root, shape in ((bands_root, bands_shape), (pay_root, pay_shape)):
+        if any(e <= target for e in _epoch_dirs(root)):
+            _compact_one(spark, root, target, shape, n_buckets)
+
+    import time
+
+    path = os.path.join(out_dir, COMPACTION_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"compacted_through": int(target), "at": time.time()}, f)
+    os.replace(tmp, path)
+    return {"compacted_through": int(target),
+            "files_before": files_before,
+            "files_after": _store_files(bands_root) + _store_files(pay_root)}
 
 
 def _train_cov_planes(batch_df: DataFrame, n_planes: int) -> list:

@@ -124,3 +124,101 @@ def test_q48_matches_oracle_on_chain_corpus(spark, tmp_path):
     )
     want = sorted(int(x) for (x,) in con.execute(_Q48_SQL).fetchall())
     assert got == want
+
+
+def test_incremental_components_equals_batch(spark):
+    """VERDICT r5 #2: folding each epoch's NEW pairs into the previous
+    star forest must reproduce batch CC over all accumulated pairs —
+    including epochs whose edges MERGE two previously-separate clusters
+    (the case where reusing labels could go wrong)."""
+    from real_time_anomaly_detection_spark.operators.components import (
+        incremental_components,
+    )
+
+    # deterministic merge case: epoch 2's (2,5) unites epoch 1's clusters
+    labels = None
+    acc = []
+    for ep in ([(1, 2), (5, 6)], [(2, 5)], [(7, 8)]):
+        acc.extend(ep)
+        new = spark.createDataFrame(ep, "doc_a long, doc_b long")
+        labels = incremental_components(new, labels).localCheckpoint(eager=True)
+        got = {r.doc_id: r.label for r in labels.collect()}
+        assert got == _union_find_truth(acc), acc
+
+    # randomized: 4 interleaved epochs over a 200-node graph (merges across
+    # epochs are near-certain at this density)
+    rng = random.Random(7)
+    all_edges = [tuple(rng.sample(range(200), 2)) for _ in range(260)]
+    epochs = [all_edges[i::4] for i in range(4)]
+    labels, acc = None, []
+    for ep in epochs:
+        acc.extend(ep)
+        new = spark.createDataFrame(ep, "doc_a long, doc_b long")
+        labels = incremental_components(new, labels).localCheckpoint(eager=True)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == _union_find_truth(acc)
+
+
+def test_update_clusters_store_flow(spark, tmp_path):
+    """The persisted incremental path: epoch-idempotent snapshots +
+    state-then-marker commit. Covers fold, merge-across-updates, no-op
+    re-call, crash-retry (marker reverted after snapshot write), and the
+    wrong-pairs-root guard."""
+    from real_time_anomaly_detection_spark.operators.components import (
+        connected_components,
+    )
+    from real_time_anomaly_detection_spark.streaming import clusters as C
+
+    pairs_root = str(tmp_path / "pairs")
+    out = str(tmp_path / "cl")
+
+    def write_epoch(e, rows):
+        spark.createDataFrame(
+            [(a, b, 1.0) for a, b in rows],
+            "doc_a long, doc_b long, similarity double",
+        ).write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"epoch_id={e}")
+        )
+
+    def head_map():
+        return {r.doc_id: r.label for r in C.head_labels(spark, out).collect()}
+
+    write_epoch(0, [(1, 2), (10, 11)])
+    r = C.update_clusters(spark, pairs_root, out)
+    assert r["head"] == 0 and r["new_epochs"] == [0] and r["n_labels"] == 4
+    assert head_map() == {1: 1, 2: 1, 10: 10, 11: 10}
+
+    write_epoch(1, [(2, 10)])  # merges the two clusters
+    r = C.update_clusters(spark, pairs_root, out)
+    assert r["head"] == 1
+    assert head_map() == {1: 1, 2: 1, 10: 1, 11: 1}
+
+    # no new epochs: no-op
+    r = C.update_clusters(spark, pairs_root, out)
+    assert r == {"head": 1, "new_epochs": [], "n_labels": None}
+
+    # crash between snapshot and marker: revert the marker, retry must
+    # recompute the same head snapshot and commit
+    write_epoch(2, [(20, 21)])
+    r = C.update_clusters(spark, pairs_root, out)
+    assert r["head"] == 2
+    C._commit_head(out, {"head": 1, "n_labels": 4, "folded_epochs": 2})
+    r = C.update_clusters(spark, pairs_root, out)
+    assert r["head"] == 2 and r["new_epochs"] == [2]
+    assert head_map() == {1: 1, 2: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+
+    # incremental result == batch CC over everything accumulated
+    batch = connected_components(
+        spark.read.parquet(pairs_root).select("doc_a", "doc_b")
+    )
+    assert head_map() == {r.doc_id: r.label for r in batch.collect()}
+
+    # a clusters store pointed at the wrong pairs root fails loudly
+    other = str(tmp_path / "other_pairs")
+    spark.createDataFrame(
+        [(50, 51, 1.0)], "doc_a long, doc_b long, similarity double"
+    ).write.parquet(os.path.join(other, "epoch_id=7"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wrong pairs root"):
+        C.update_clusters(spark, other, out)

@@ -488,3 +488,123 @@ def test_dedup_apply_over_streamed_pairs(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(applied, "survivors")).collect()
     )
     assert survivors == [1, 3, 12]
+
+
+def test_cluster_update_incremental_over_streamed_pairs(spark, tmp_path):
+    """VERDICT r5 #2 E2E: cluster-update folds stream-dedup's pairs root
+    incrementally (one call per ingest epoch, reusing the persisted star
+    forest) and the final labels equal batch connected_components over ALL
+    accumulated pairs. Driven through the CLI so the spark-submit surface
+    is the thing tested."""
+    import json as _json
+
+    from real_time_anomaly_detection_spark import cli
+    from real_time_anomaly_detection_spark.operators.components import (
+        connected_components,
+    )
+    from real_time_anomaly_detection_spark.streaming import clusters as C
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    clroot = str(tmp_path / "cl")
+
+    for i, batch in enumerate([BATCH1, BATCH2]):
+        spark.createDataFrame(_docs(batch)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+        q.awaitTermination()
+        cli.main(["cluster-update", "--pairs", os.path.join(out, "pairs"),
+                  "--out", clroot])
+        head = _json.load(open(os.path.join(clroot, C.HEAD_FILE)))
+        assert head["head"] == i
+
+    got = {r.doc_id: r.label
+           for r in C.head_labels(spark, clroot).collect()}
+    batch_labels = connected_components(
+        spark.read.parquet(os.path.join(out, "pairs")).select("doc_a", "doc_b")
+    )
+    assert got == {r.doc_id: r.label for r in batch_labels.collect()}
+    # the cross-batch merges landed: {1,2,10} -> 1, {3,11} -> 3
+    assert got[10] == 1 and got[2] == 1 and got[11] == 3
+
+
+def test_compaction_preserves_pairs_lineage_and_shrinks_files(spark, tmp_path):
+    """VERDICT r5 #3: compact after two epochs, then keep streaming — the
+    compacted run's pair output (including the post-compaction epoch's
+    cross-batch pairs) equals an uncompacted twin's, the lineage gate still
+    passes, the store collapses to one epoch dir with fewer files, and a
+    redrain stays a no-op."""
+    import pytest
+
+    B3 = _docs([(20, BATCH2[0][1]),                       # dup of 10/1/2
+                (21, "unrelated fresh tokens apple pear plum quince fig")])
+
+    # twin A: never compacted
+    (tmp_path / "A").mkdir()
+    srcA, outA, ckptA = _drain(spark, tmp_path / "A",
+                               [_docs(BATCH1), _docs(BATCH2), B3])
+    want = _norm(spark.read.parquet(os.path.join(outA, "pairs")).toPandas())
+
+    # twin B: compact between epoch 1 and epoch 2
+    (tmp_path / "B").mkdir()
+    src, out, ckpt = _drain(spark, tmp_path / "B",
+                            [_docs(BATCH1), _docs(BATCH2)])
+    r = dedup_stream.compact_store(spark, out, ckpt)
+    assert r["compacted_through"] == 1
+    assert r["files_after"] < r["files_before"]
+    assert dedup_stream._epoch_dirs(os.path.join(out, "bands_store")) == {1}
+    assert dedup_stream._epoch_dirs(os.path.join(out, "payload_store")) == {1}
+    assert dedup_stream.verify_store_lineage(out, ckpt)["epochs"] == [0, 1]
+
+    # redrain with no new files: still a no-op after compaction
+    before = spark.read.parquet(os.path.join(out, "pairs")).count()
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    assert spark.read.parquet(os.path.join(out, "pairs")).count() == before
+
+    # epoch 2 on the compacted store: same pairs as the uncompacted twin
+    spark.createDataFrame(B3).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    got = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert got == want
+    assert frozenset((10, 20)) in got  # cross-batch via the compacted store
+
+    # re-compacting an already-compacted store is a safe no-op-shaped fold
+    r2 = dedup_stream.compact_store(spark, out, ckpt)
+    assert r2["compacted_through"] == 2
+    got2 = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert got2 == want
+
+    # a crash window (record missing, stores folded) fails the next stream
+    # start LOUDLY and re-running compact heals it
+    os.remove(os.path.join(out, dedup_stream.COMPACTION_FILE))
+    with pytest.raises(ValueError, match="compaction crashed mid-swap"):
+        dedup_stream.verify_store_lineage(out, ckpt)
+    r3 = dedup_stream.compact_store(spark, out, ckpt)
+    assert r3["compacted_through"] == 2
+    assert dedup_stream.verify_store_lineage(out, ckpt)["epochs"] == [0, 1, 2]
+
+
+def test_compaction_keeps_latest_payload_and_stale_bands(spark, tmp_path):
+    """Compaction folds the payload store keep-latest (a changed doc's NEW
+    content is what future epochs verify against) while the bands fold is a
+    DISTINCT that keeps stale band rows — both exactly the pre-compaction
+    read semantics."""
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight"
+    b1 = _docs([(1, text_a), (2, "unrelated filler vocabulary entirely")])
+    b2 = _docs([(1, text_b)])  # doc 1 changes content
+    src, out, ckpt = _drain(spark, tmp_path, [b1, b2])
+    dedup_stream.compact_store(spark, out, ckpt)
+
+    b3 = _docs([(30, "one two three four five six seven nine"),   # dup of NEW
+                (31, "alpha beta gamma delta epsilon zeta eta iota")])  # dup of OLD
+    spark.createDataFrame(b3).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream.stream_dedup(spark, src, ckpt, out)
+    q.awaitTermination()
+    pairs = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert frozenset((1, 30)) in pairs      # verified against doc 1's LATEST
+    assert frozenset((1, 31)) not in pairs  # old content no longer matchable
