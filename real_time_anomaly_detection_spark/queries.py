@@ -2840,6 +2840,79 @@ FROM reach GROUP BY node
 """
 
 
+def q50_modality_reconciliation(spark, sf_dir,
+                                text_n_bands: int | None = None,
+                                rows_per_band: int | None = None,
+                                emb_n_bands: int | None = None,
+                                planes_per_band: int | None = None,
+                                text_threshold: float = 0.5,
+                                emb_threshold: float = 0.45):
+    """Cross-modality reconciliation (VERDICT r5 #7): the curation decision
+    a real pipeline makes when the TEXT near-dup clusters (q47) and the
+    EMBEDDING near-dup clusters (q49) disagree about a document. One row
+    per doc appearing in either modality's cluster relation:
+
+      status = text_only | emb_only      (the other modality saw no dup)
+             | both_keeper | both_drop   (modalities agree on the verdict)
+             | keeper_conflict           (one modality keeps, the other
+                                          drops — the rows a human/curation
+                                          policy must adjudicate)
+
+    Spark shape: full outer join of the two cluster relations on doc id.
+    Both sides are near-dup-doc-scale (metadata relative to the corpus), so
+    the join is a small shuffle regardless of corpus size; absent-side
+    cluster ids are encoded as -1 (keepers as false) to keep the schema
+    null-free for byte-stable cross-engine comparison."""
+    t = q47_neardup_clusters(
+        spark, sf_dir, n_bands=text_n_bands, rows_per_band=rows_per_band,
+        threshold=text_threshold,
+    ).select(
+        "doc_id",
+        F.col("cluster_id").alias("_tc"),
+        F.col("is_keeper").alias("_tk"),
+    )
+    e = q49_embedding_clusters(
+        spark, sf_dir, n_bands=emb_n_bands, planes_per_band=planes_per_band,
+        threshold=emb_threshold,
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cluster_id").alias("_ec"),
+        F.col("is_keeper").alias("_ek"),
+    )
+    j = t.join(e, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_tc").isNull(), F.lit("emb_only"))
+        .when(F.col("_ec").isNull(), F.lit("text_only"))
+        .when(F.col("_tk") & F.col("_ek"), F.lit("both_keeper"))
+        .when(~F.col("_tk") & ~F.col("_ek"), F.lit("both_drop"))
+        .otherwise(F.lit("keeper_conflict"))
+    )
+    return j.select(
+        "doc_id",
+        F.coalesce("_tc", F.lit(-1)).alias("text_cluster"),
+        F.coalesce("_tk", F.lit(False)).alias("text_keeper"),
+        F.coalesce("_ec", F.lit(-1)).alias("emb_cluster"),
+        F.coalesce("_ek", F.lit(False)).alias("emb_keeper"),
+        status.alias("status"),
+    )
+
+
+_Q50_SQL = f"""
+WITH t AS ({_Q47_SQL}), e AS ({_Q49_SQL})
+SELECT COALESCE(t.doc_id, e.vec_id) AS doc_id,
+       COALESCE(t.cluster_id, -1) AS text_cluster,
+       COALESCE(t.is_keeper, FALSE) AS text_keeper,
+       COALESCE(e.cluster_id, -1) AS emb_cluster,
+       COALESCE(e.is_keeper, FALSE) AS emb_keeper,
+       CASE WHEN t.doc_id IS NULL THEN 'emb_only'
+            WHEN e.vec_id IS NULL THEN 'text_only'
+            WHEN t.is_keeper AND e.is_keeper THEN 'both_keeper'
+            WHEN NOT t.is_keeper AND NOT e.is_keeper THEN 'both_drop'
+            ELSE 'keeper_conflict' END AS status
+FROM t FULL OUTER JOIN e ON t.doc_id = e.vec_id
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -2914,6 +2987,10 @@ QUERIES = {
         q49_embedding_clusters, n_bands=_ND_BANDS,
         planes_per_band=_ND_PLANES_PER_BAND
     ),
+    "q50_modality_reconciliation": _pin_kwargs(
+        q50_modality_reconciliation, text_n_bands=_MH_BANDS, rows_per_band=2,
+        emb_n_bands=_ND_BANDS, planes_per_band=_ND_PLANES_PER_BAND
+    ),
 }
 
 ORACLES = {
@@ -2962,6 +3039,7 @@ ORACLES = {
     "q47_neardup_clusters": _Q47_SQL,
     "q48_dedup_corpus": _Q48_SQL,
     "q49_embedding_clusters": _Q49_SQL,
+    "q50_modality_reconciliation": _Q50_SQL,
 }
 
 

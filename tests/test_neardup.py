@@ -894,3 +894,58 @@ def test_numpy_band_paths_null_embedding_parity(spark):
     topk = _ivf_topk_from_cents(e, cents, nprobe=2).toPandas()
     assert 99 not in set(topk["probe_id"]) and 99 not in set(topk["cand_id"])
     assert len(topk) > 0
+
+
+def test_q50_reconciliation_golden_planted_disagreement(spark, tmp_path):
+    """VERDICT r5 #7 golden: a corpus engineered so the two modalities
+    disagree in every possible way — text-only pairs, embedding-only pairs,
+    agreeing pairs (both_keeper/both_drop), and a doc that TEXT drops but
+    EMBEDDING keeps (keeper_conflict — the row a curation policy must
+    adjudicate)."""
+    import numpy as np
+
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    rng = np.random.RandomState(11)
+    base = {i: rng.normal(size=64) for i in range(9)}
+    emb = dict(base)
+    emb[3] = base[2]   # 2,3: embedding pair (texts unrelated)
+    emb[6] = base[5]   # 5,6: embedding pair; 4,5 is a TEXT pair -> conflict at 5
+    emb[8] = base[7]   # 7,8: embedding pair AND text pair -> agreement
+
+    tw = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    tx = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    ty = "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9"
+    texts = {
+        0: tw + " a0", 1: tw + " a1",            # text pair {0,1}
+        2: "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",  # loners in text
+        3: "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9 v10",
+        4: tx + " b0", 5: tx + " b1",            # text pair {4,5}
+        6: "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10",
+        7: ty + " c0", 8: ty + " c1",            # text pair {7,8}
+    }
+    path = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, texts[i]) for i in range(9)], "doc_id long, text string"
+    ).write.parquet(os.path.join(path, "documents.parquet"))
+    spark.createDataFrame(
+        [(i, [float(v) for v in emb[i]]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(os.path.join(path, "embeddings.parquet"))
+
+    got = {
+        int(r.doc_id): (r.status, int(r.text_cluster), bool(r.text_keeper),
+                        int(r.emb_cluster), bool(r.emb_keeper))
+        for r in QUERIES["q50_modality_reconciliation"](spark, path).collect()
+    }
+    assert got == {
+        0: ("text_only", 0, True, -1, False),
+        1: ("text_only", 0, False, -1, False),
+        2: ("emb_only", -1, False, 2, True),
+        3: ("emb_only", -1, False, 2, False),
+        4: ("text_only", 4, True, -1, False),
+        5: ("keeper_conflict", 4, False, 5, True),
+        6: ("emb_only", -1, False, 5, False),
+        7: ("both_keeper", 7, True, 7, True),
+        8: ("both_drop", 7, False, 7, False),
+    }
