@@ -38,16 +38,8 @@ def _oracle_for(name: str) -> str:
 ORACLES["q46_ann_ivf_trained"] = "<lazy>"  # key presence drives parametrize
 
 
-def _q49_union_find_oracle(ddb) -> pd.DataFrame:
-    """q49's oracle without the recursive CTE (VERDICT r5 #5): DuckDB runs
-    only the PAIR SQL (_Q42_SQL — independently trusted by q42's own parity
-    row at every scale including sf1), and the transitive closure is a
-    driver-side union-find over that output. This makes the q49 oracle
-    feasible at sf1, where the recursive closure over 0.8M pairs timed out
-    (>580s measured in r5) while the pair SQL itself completes."""
-    from real_time_anomaly_detection_spark.queries import _Q42_SQL
-
-    pairs = ddb.sql(_Q42_SQL).df()
+def _union_find_labels(pairs: pd.DataFrame, a: str, b: str) -> dict[int, int]:
+    """node -> min-id-of-component over an undirected pair list."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -57,19 +49,55 @@ def _q49_union_find_oracle(ddb) -> pd.DataFrame:
             x = parent[x]
         return x
 
-    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
-        ra, rb = find(int(a)), find(int(b))
+    for u, v in zip(pairs[a], pairs[b]):
+        ra, rb = find(int(u)), find(int(v))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    comp: dict[int, list[int]] = {}
-    for n in parent:
-        comp.setdefault(find(n), []).append(n)
-    rows = [
-        (n, min(members), n == min(members))
-        for root, members in comp.items()
-        for n in members
-    ]
-    return pd.DataFrame(rows, columns=["vec_id", "cluster_id", "is_keeper"])
+    return {n: find(n) for n in parent}
+
+
+def _q49_union_find_oracle(ddb) -> pd.DataFrame:
+    """q49's oracle without the recursive CTE (VERDICT r5 #5): DuckDB runs
+    only the PAIR SQL (_Q42_SQL — independently trusted by q42's own parity
+    row at every scale including sf1), and the transitive closure is a
+    driver-side union-find over that output. This makes the q49 oracle
+    feasible at sf1, where the recursive closure over 0.8M pairs timed out
+    (>580s measured in r5) while the pair SQL itself completes."""
+    from real_time_anomaly_detection_spark.queries import _Q42_SQL
+
+    labels = _union_find_labels(ddb.sql(_Q42_SQL).df(), "vec_a", "vec_b")
+    return pd.DataFrame(
+        [(n, c, n == c) for n, c in labels.items()],
+        columns=["vec_id", "cluster_id", "is_keeper"],
+    )
+
+
+def _q50_union_find_oracle(ddb) -> pd.DataFrame:
+    """q50's oracle with BOTH closures replaced by union-find over the two
+    trusted pair SQLs (_Q34_SQL / _Q42_SQL) — the embedded q49 CTE makes
+    the composed _Q50_SQL infeasible at sf1 for the same reason as q49's."""
+    from real_time_anomaly_detection_spark.queries import _Q34_SQL, _Q42_SQL
+
+    t = _union_find_labels(ddb.sql(_Q34_SQL).df(), "doc_a", "doc_b")
+    e = _union_find_labels(ddb.sql(_Q42_SQL).df(), "vec_a", "vec_b")
+    rows = []
+    for n in sorted(set(t) | set(e)):
+        tc, ec = t.get(n), e.get(n)
+        if tc is None:
+            status = "emb_only"
+        elif ec is None:
+            status = "text_only"
+        elif (n == tc) and (n == ec):
+            status = "both_keeper"
+        elif (n != tc) and (n != ec):
+            status = "both_drop"
+        else:
+            status = "keeper_conflict"
+        rows.append((n, -1 if tc is None else tc, tc is not None and n == tc,
+                     -1 if ec is None else ec, ec is not None and n == ec,
+                     status))
+    return pd.DataFrame(rows, columns=["doc_id", "text_cluster", "text_keeper",
+                                       "emb_cluster", "emb_keeper", "status"])
 
 # Large-scale runs swap q22's all-pairs oracle (O(n^2), 11e9 pairs at sf1's
 # 150k customers) for the grid-prefiltered SQL twin — same result, feasible.
@@ -110,6 +138,8 @@ def test_query_matches_oracle(spark, ddb, name):
     spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
     if name == "q49_embedding_clusters":
         duck_pdf = _q49_union_find_oracle(ddb)
+    elif name == "q50_modality_reconciliation":
+        duck_pdf = _q50_union_find_oracle(ddb)
     else:
         duck_pdf = ddb.sql(_oracle_for(name)).df()
     a, b = normalize(spark_pdf), normalize(duck_pdf)
