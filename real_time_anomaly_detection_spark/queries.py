@@ -2471,27 +2471,39 @@ def q43_winnowing_neardup(spark, sf_dir):
 
     Scale shape: fingerprint selection is ENTIRELY scan-local — an
     Arrow-batched mapInPandas computes, per document, all gram hashes
-    (hashlib.md5, C speed), the w-window rolling min (numpy
-    sliding_window_view), and the per-doc dedup (np.unique), so the first
-    shuffle in the whole plan is the df-cap aggregation over ~L/w
-    fingerprints per doc (plan-pinned: no Window operator). This is the
-    measured exception to the built-ins-first rule: the per-gram
-    CRYPTOGRAPHIC hash dominates, and at 50k docs / 76M grams the UDF stage
-    runs ~4s where the explode + (doc_id, chunk)-window formulation paid a
-    93s gram-row shuffle+sort and the all-HOF array formulation paid 160s+
-    of per-element interpreted lambdas (both measured, round 4). Two more
-    formulation traps kept for the record: string substr at position i is
-    an O(i) UTF-8 scan (a 0.5 MB doc took ~20 min — slice bytes, not
-    chars), and a lambda-indexed slice over an invariant hash-array
-    expression re-evaluates the O(L) md5 transform per window (O(L^2)
-    md5s, 490s on 500 docs). Grams are CHARACTER k-grams hashed via their
-    utf-8 encoding — exactly the oracle's md5(substr(text)) — with a
-    zero-copy byte-slice fast path taken when the doc is pure ASCII
-    (byte grams == char grams there).
-    The df cap is the same hot-set broadcast-anti-join straggler guard as
-    _lsh_candidate_pairs' max_bucket_size, ON by default because a
-    ubiquitous fingerprint is definitionally boilerplate. The k-gram hash
-    is the md5-60bit extraction, so the whole pipeline has a DuckDB value
+    (vectorized single-block MD5, operators/md5x.py, packed across the
+    batch's docs; bit-identical to hashlib), the w-window rolling min
+    (numpy sliding_window_view), and the per-doc dedup (np.unique). The
+    ONLY shuffle over the fingerprint relation is one hash repartition on
+    fp + sortWithinPartitions; a streaming run-walker mapInPandas then
+    emits each fingerprint run's doc pairs directly, applying the df cap
+    (runs longer than _WN_MAX_DF are dropped AS THEY STREAM, O(cap) memory
+    even for a boilerplate fingerprint held by millions of docs — strictly
+    stronger than the r5 broadcast-anti-join guard, which still scanned
+    the hot rows once more). r6 measured on the 20k-doc bench corpus: the
+    r5 shape (df-cap agg pass 1.9s + broadcast-anti persist pass 1.5s +
+    self-join 3.9s, three passes over 6.5M fingerprint rows) ran 7.2s
+    warm; this one-shuffle shape runs 3.8s with the identical 602-pair
+    output. The final pair count >= _WN_MIN_SHARED agg shuffles only the
+    capped pair set.
+
+    This is the measured exception to the built-ins-first rule: the
+    per-gram CRYPTOGRAPHIC hash dominates the scan, and at 50k docs / 76M
+    grams the UDF stage runs ~4s where the explode + (doc_id,
+    chunk)-window formulation paid a 93s gram-row shuffle+sort and the
+    all-HOF array formulation paid 160s+ of per-element interpreted
+    lambdas (both measured, round 4). Two more formulation traps kept for
+    the record: string substr at position i is an O(i) UTF-8 scan (a
+    0.5 MB doc took ~20 min — slice bytes, not chars), and a
+    lambda-indexed slice over an invariant hash-array expression
+    re-evaluates the O(L) md5 transform per window (O(L^2) md5s, 490s on
+    500 docs). Grams are CHARACTER k-grams hashed via their utf-8
+    encoding — exactly the oracle's md5(substr(text)) — with a byte-slice
+    fast path taken when the doc is pure ASCII (byte grams == char grams
+    there).
+    The df cap is ON by default because a ubiquitous fingerprint is
+    definitionally boilerplate (MOSS drops them too). The k-gram hash is
+    the md5-60bit extraction, so the whole pipeline has a DuckDB value
     oracle."""
     import pandas as pd  # local import: queries.py is otherwise JVM-only
 
@@ -2506,8 +2518,23 @@ def q43_winnowing_neardup(spark, sf_dir):
         import numpy as np
         from numpy.lib.stride_tricks import sliding_window_view
 
+        from real_time_anomaly_detection_spark.operators.md5x import (
+            md5_top60_sliding_multi,
+        )
+
+        def select_fps(doc_id, h, ids, fps):
+            """w-window rolling min over the gram hashes + per-doc dedup."""
+            if len(h) >= _WN_W:
+                mins = sliding_window_view(h, _WN_W).min(axis=1)
+            else:
+                mins = h.min(keepdims=True)  # single short window
+            u = np.unique(mins)
+            ids.append(np.full(len(u), doc_id, np.int64))
+            fps.append(u)
+
         for pdf in batches:
             ids, fps = [], []
+            ascii_ids, ascii_bufs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     # Catalyst formulation yields a null fingerprint here,
@@ -2519,45 +2546,44 @@ def q43_winnowing_neardup(spark, sf_dir):
                 # gram positions are CHARACTER positions (matching the SQL
                 # oracle's substr semantics); on pure-ASCII text byte slices
                 # of the encoding ARE the char-grams' utf-8 encodings, so the
-                # zero-copy memoryview fast path applies. Non-ASCII docs take
-                # the char-slice path: hash the utf-8 encoding of each CHAR
-                # k-gram — identical semantics, no silent divergence
-                # (ADVICE r4).
+                # byte path applies. Non-ASCII docs take the char-slice path:
+                # hash the utf-8 encoding of each CHAR k-gram — identical
+                # semantics, no silent divergence (ADVICE r4).
+                if len(b) == len(s) and len(b) >= _WN_K:
+                    # every gram is a fixed 16-byte single-block MD5
+                    # message, so the position loop vectorizes (numpy
+                    # 64-round compression, bit-identical to hashlib);
+                    # deferred so the compression chunks pack ACROSS the
+                    # batch's docs — per-doc calls don't amortize the
+                    # ~448 numpy dispatches (r6 measured: per-doc ran no
+                    # faster than the hashlib loop; packed runs ~3x)
+                    ascii_ids.append(doc_id)
+                    ascii_bufs.append(b)
+                    continue
                 n = max(len(s) - (_WN_K - 1), 1)
                 # first 15 hex chars of md5 == top 60 bits of the digest:
                 # int.from_bytes(digest[:8]) >> 4 skips the 32-char hex
                 # string round-trip (measured ~33% off the gram-hash loop)
                 md5, ifb = hashlib.md5, int.from_bytes
-                if len(b) == len(s):
-                    mv = memoryview(b)
-                    h = np.fromiter(
-                        (
-                            ifb(md5(mv[i : i + _WN_K]).digest()[:8], "big") >> 4
-                            for i in range(n)
-                        ),
-                        np.int64,
-                        n,
-                    )
-                else:
-                    h = np.fromiter(
-                        (
-                            ifb(
-                                md5(s[i : i + _WN_K].encode("utf-8")).digest()[:8],
-                                "big",
-                            )
-                            >> 4
-                            for i in range(n)
-                        ),
-                        np.int64,
-                        n,
-                    )
-                if n >= _WN_W:
-                    mins = sliding_window_view(h, _WN_W).min(axis=1)
-                else:
-                    mins = h.min(keepdims=True)  # single short window
-                u = np.unique(mins)
-                ids.append(np.full(len(u), doc_id, np.int64))
-                fps.append(u)
+                h = np.fromiter(
+                    (
+                        ifb(
+                            md5(s[i : i + _WN_K].encode("utf-8")).digest()[:8],
+                            "big",
+                        )
+                        >> 4
+                        for i in range(n)
+                    ),
+                    np.int64,
+                    n,
+                )
+                select_fps(doc_id, h, ids, fps)
+            if ascii_bufs:
+                vals, counts = md5_top60_sliding_multi(ascii_bufs, _WN_K)
+                off = 0
+                for doc_id, cnt in zip(ascii_ids, counts):
+                    select_fps(doc_id, vals[off : off + cnt], ids, fps)
+                    off += cnt
             yield pd.DataFrame(
                 {
                     "doc_id": np.concatenate(ids) if ids else np.array([], np.int64),
@@ -2565,33 +2591,71 @@ def q43_winnowing_neardup(spark, sf_dir):
                 }
             )
 
-    x = (
-        d.mapInPandas(winnow_batches, schema="doc_id long, fp long")
-        # referenced three times below (df-cap agg + both sides of the pair
-        # self-join); persisted so the UDF pass runs once, not three times.
-        # ~L/w rows of (long, long) per doc; MEMORY_AND_DISK spills rather
-        # than OOMs at scale.
-        .persist()
-    )
-    # stop-fingerprint removal via the INVERTED cap join: broadcast the few
-    # over-cap (ubiquitous/boilerplate) fingerprints and anti-join — the
-    # rare set is O(all fingerprints) (measured 6.5M rows at 20k docs, and
-    # its broadcast build dominated the query at 12s of 17s; r5)
-    hot = (
-        x.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > _WN_MAX_DF)
-        .drop("_df")
-    )
-    # second persist: the anti-joined relation feeds BOTH sides of the pair
-    # self-join; without it the anti-join recomputes per side (r5 profile:
-    # ~3s per extra pass at 6.5M fingerprint rows)
-    x = x.join(F.broadcast(hot), "fp", "left_anti").persist()
+    def pair_runs(batches):
+        """Walk fp-sorted rows of one partition; emit the C(run, 2) doc
+        pairs of every fingerprint run with 2..=_WN_MAX_DF members. Runs
+        over the cap are dropped AS THEY STREAM (the buffer is cleared the
+        moment it exceeds cap), so worker memory is O(cap) per run no
+        matter how many documents share a boilerplate fingerprint. State
+        carries across Arrow batches: a run straddling a batch boundary is
+        flushed only when the next fingerprint begins (or at end of
+        partition)."""
+        import numpy as np
+
+        cap = _WN_MAX_DF
+        cur_fp = None
+        buf: list[int] = []
+        dead = False
+
+        def flush(out_a, out_b):
+            if not dead and len(buf) >= 2:
+                ds = np.sort(np.array(buf, np.int64))
+                ia, ib = np.triu_indices(len(ds), k=1)
+                out_a.append(ds[ia])
+                out_b.append(ds[ib])
+
+        def frame(out_a, out_b):
+            return pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a)
+                    if out_a
+                    else np.array([], np.int64),
+                    "doc_b": np.concatenate(out_b)
+                    if out_b
+                    else np.array([], np.int64),
+                }
+            )
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for f_, d_ in zip(pdf["fp"].to_numpy(), pdf["doc_id"].to_numpy()):
+                if f_ != cur_fp:
+                    flush(out_a, out_b)
+                    cur_fp = f_
+                    buf = [d_]
+                    dead = False
+                elif not dead:
+                    buf.append(d_)
+                    if len(buf) > cap:
+                        dead = True
+                        buf = []
+            yield frame(out_a, out_b)
+        out_a, out_b = [], []
+        flush(out_a, out_b)
+        yield frame(out_a, out_b)
+
+    x = d.mapInPandas(winnow_batches, schema="doc_id long, fp long")
+    # the plan's ONE fingerprint shuffle: co-locate each fingerprint's rows
+    # and sort so runs are contiguous for the streaming walker. (The r5
+    # shape — df-cap agg + broadcast anti-join + fp self-join — made three
+    # passes over the fingerprint relation and needed two persists; this
+    # replaces all of it, 7.2s -> 3.8s warm at the bench corpus.)
+    x = x.repartition(
+        spark.sparkContext.defaultParallelism, "fp"
+    ).sortWithinPartitions("fp")
+    pairs = x.mapInPandas(pair_runs, schema="doc_a long, doc_b long")
     return (
-        x.alias("a")
-        .join(x.alias("b"), "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _WN_MIN_SHARED)
     )

@@ -151,16 +151,20 @@ def test_embedding_lsh_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p, p
 
 
-def test_winnowing_no_cartesian_and_caps_before_join(spark):
-    """q43 pin: pair generation is an equi-join on the fingerprint; the
-    stop-fingerprint df cap is a broadcast ANTI-join on the few OVER-cap
-    fingerprints BEFORE the pair self-join (r5 — the semi-join form
-    broadcast the O(corpus) under-cap set)."""
+def test_winnowing_one_fingerprint_shuffle_no_join(spark):
+    """q43 pin (r6 shape): NO join operator anywhere — pair generation is
+    the streaming run-walker over ONE hash repartition + intra-partition
+    sort of the fingerprint relation (the r5 df-cap agg + broadcast
+    anti-join + fp self-join made three passes over it). Exactly three
+    Exchanges: the round-robin input spread, the fp co-location, and the
+    final pair-count agg."""
     from real_time_anomaly_detection_spark.queries import q43_winnowing_neardup
 
     p = plan_str(q43_winnowing_neardup(spark, SF))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-    assert "LeftAnti" in p, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange") == 3, p
+    assert "Sort" in p, p
 
 
 def test_content_dedup_digest_before_exchange(spark, clips_parquet):

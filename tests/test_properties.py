@@ -124,3 +124,107 @@ def test_ar1_resid_shape_and_first_zero(x):
     assert r.shape == x.shape
     assert r[0] == 0.0
     assert np.isfinite(r).all()
+
+
+# --- vectorized single-block MD5 (operators/md5x.py) ---------------------
+# The q43 gram path swaps the hashlib-per-position loop for the numpy
+# 64-round compression; these pin BIT-IDENTICAL digests against hashlib on
+# arbitrary bytes so the oracle ("first 15 hex chars of md5") can never
+# drift.
+
+
+def _ref_top60(buf: bytes, k: int) -> np.ndarray:
+    import hashlib
+
+    mv = memoryview(buf)
+    n = max(len(buf) - k + 1, 1)
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(mv[i : i + k]).digest()[:8], "big") >> 4
+            for i in range(n)
+        ),
+        np.int64,
+        n,
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    buf=st.binary(min_size=0, max_size=400),
+    k=st.integers(min_value=1, max_value=55),
+)
+def test_md5_top60_sliding_matches_hashlib(buf, k):
+    from real_time_anomaly_detection_spark.operators import md5x
+
+    got = md5x.md5_top60_sliding(buf, k)
+    assert np.array_equal(got, _ref_top60(buf, k))
+
+
+def test_md5_top60_sliding_crosses_chunk_boundary():
+    from real_time_anomaly_detection_spark.operators import md5x
+
+    rng = np.random.default_rng(11)
+    buf = bytes(rng.integers(0, 256, md5x._CHUNK + 500, dtype=np.uint8))
+    assert np.array_equal(md5x.md5_top60_sliding(buf, 16), _ref_top60(buf, 16))
+
+
+@settings(max_examples=60, deadline=None)
+@given(msgs=st.lists(st.binary(min_size=0, max_size=55), max_size=40))
+def test_md5_top60_batch_matches_hashlib(msgs):
+    import hashlib
+
+    from real_time_anomaly_detection_spark.operators import md5x
+
+    got = md5x.md5_top60_batch(msgs)
+    ref = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(m).digest()[:8], "big") >> 4
+            for m in msgs
+        ),
+        np.int64,
+        len(msgs),
+    )
+    assert np.array_equal(got, ref)
+
+
+def test_md5_top60_rejects_multi_block():
+    import pytest
+
+    from real_time_anomaly_detection_spark.operators import md5x
+
+    with pytest.raises(ValueError):
+        md5x.md5_top60_sliding(b"x" * 100, 56)
+    with pytest.raises(ValueError):
+        md5x.md5_top60_batch([b"y" * 56])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bufs=st.lists(st.binary(min_size=16, max_size=300), max_size=20),
+    k=st.integers(min_value=1, max_value=16),
+)
+def test_md5_top60_sliding_multi_matches_per_doc(bufs, k):
+    from real_time_anomaly_detection_spark.operators import md5x
+
+    vals, counts = md5x.md5_top60_sliding_multi(bufs, k)
+    assert counts.tolist() == [len(b) - k + 1 for b in bufs]
+    off = 0
+    for b, c in zip(bufs, counts):
+        assert np.array_equal(vals[off : off + c], _ref_top60(b, k))
+        off += c
+    assert off == len(vals)
+
+
+def test_md5_top60_sliding_multi_crosses_chunk_boundary():
+    from real_time_anomaly_detection_spark.operators import md5x
+
+    rng = np.random.default_rng(5)
+    bufs = [
+        bytes(rng.integers(0, 256, ln, dtype=np.uint8))
+        for ln in (md5x._CHUNK - 7, 300, md5x._CHUNK + 123, 16)
+    ]
+    vals, counts = md5x.md5_top60_sliding_multi(bufs, 16)
+    off = 0
+    for b, c in zip(bufs, counts):
+        assert np.array_equal(vals[off : off + c], _ref_top60(b, 16))
+        off += c
