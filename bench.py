@@ -61,6 +61,7 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     q47_neardup_clusters,
     q48_dedup_corpus,
     q49_embedding_clusters,
+    q50_modality_reconciliation,
 )
 
 NEARDUP_BENCH_FNS = {
@@ -73,6 +74,16 @@ NEARDUP_BENCH_FNS = {
     "q48_dedup_corpus": q48_dedup_corpus,                    # derived @ 0.5
     "q49_embedding_clusters": (
         lambda s, d: q49_embedding_clusters(s, d, threshold=0.9)
+    ),
+    # composition of q47 (derived @ 0.5) and q49 (derived @ 0.9) + the
+    # reconciliation join — benched in the same production config as its
+    # components (r6: the registry fallback benched the ORACLE-pinned dense
+    # 6x2 plane geometry on the sf corpus, the documented scale-killer,
+    # 22.7s where the production config runs the family's ~12s)
+    "q50_modality_reconciliation": (
+        lambda s, d: q50_modality_reconciliation(
+            s, d, text_threshold=0.5, emb_threshold=0.9
+        )
     ),
 }
 NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
