@@ -2766,6 +2766,164 @@ FROM s GROUP BY split
 """
 
 
+# --------------------------------------------------------------------------
+# q51: benchmark decontamination (train-split docs sharing a token n-gram
+# with the held-out test split). _DC_N=8 keeps grams discriminative on the
+# synthetic corpus (docs are 10-99 tokens) while still surfacing the
+# planted near-dup overlap.
+_DC_N = 8
+
+
+def q51_decontamination(spark, sf_dir, n: int = _DC_N):
+    """Benchmark decontamination: find TRAIN-split documents that share any
+    token n-gram with a TEST-split (held-out benchmark) document — the
+    standard n-gram-overlap contamination check an LLM data pipeline runs
+    before training. Splits reuse q45's deterministic md5-bucket assignment
+    (train = bucket < 80, test/benchmark = bucket >= 90), so the check is a
+    pure function of the corpus.
+
+    Spark shape for 100 TB: the BENCHMARK side is small by definition, so
+    its distinct (gram, bench_doc) relation is broadcast; corpus grams are
+    generated scan-locally (shifted-slice arrays_zip — each slice is a
+    projection-level expression evaluated once per row, NOT an invariant
+    array indexed from inside a lambda, which Catalyst would re-inline per
+    element) and probed map-side. Only MATCHED rows (contamination-scale,
+    not corpus-scale) reach the per-doc aggregate, so the one shuffle is
+    tiny regardless of corpus size.
+
+    Output: one row per contaminated train doc with the number of distinct
+    shared grams and of distinct benchmark docs hit."""
+    d = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    base = (
+        d.select(
+            "doc_id", h.alias("h"), F.split(F.col("text"), r"\s+").alias("toks")
+        )
+        .filter(F.size("toks") >= n)
+    )
+    m = F.size(F.col("toks")) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("toks"), k + 1, m).alias(f"t{k}") for k in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
+    )
+    g = base.select("doc_id", "h", F.explode(grams).alias("gram"))
+    bench = (
+        g.filter(F.col("h") >= 90)
+        .select(F.col("doc_id").alias("bench_doc"), "gram")
+        .distinct()
+    )
+    train = g.filter(F.col("h") < 80)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+_Q51_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h,
+         regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, h, array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {_DC_N - 1}], ' ') AS gram
+  FROM d, unnest(range(1, len(toks) - {_DC_N - 2})) AS u(i)),
+b AS (SELECT DISTINCT doc_id AS bench_doc, gram FROM g WHERE h >= 90),
+t AS (SELECT doc_id, gram FROM g WHERE h < 80)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+FROM t JOIN b ON t.gram = b.gram
+GROUP BY t.doc_id
+"""
+
+
+# q52: deterministic stratified sampling — corpus-mixing rates per language,
+# evaluated as one map-side salted-hash predicate + one rollup aggregate.
+_Q52_RATES = {"en": 0.35, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+
+
+def q52_stratified_sample(spark, sf_dir, rates: dict[str, float] | None = None):
+    """Deterministic stratified (per-language) sampling — the corpus-mixing
+    step of a training-data pipeline: downsample over-represented strata to
+    target rates. Membership is a pure function of doc_id via a salted
+    md5 bucket ('q52:'||doc_id -> 60-bit % 10000 < rate*10000), so the
+    sample is reproducible across runs/engines and composes with q45's
+    split assignment (different salt -> independent hash).
+
+    Spark shape: one map-side predicate (no shuffle) + one hash aggregate
+    over the strata — the same predicate works as a WHERE filter to
+    materialize the sampled corpus without computing the rollup. At 100 TB
+    this is a single scan with partial aggregation; nothing is collected.
+
+    Output: per-stratum totals, kept counts, realized rate, and mean kept
+    doc length (null if a stratum keeps nothing)."""
+    rates = _Q52_RATES if rates is None else rates
+    d = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q52:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+        % 10000
+    )
+    # flat when-chain (no nested re-inlining, same convention as q45)
+    thresh = None
+    for lang, rate in rates.items():
+        cond, val = F.col("lang") == lang, F.lit(int(rate * 10000))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = thresh.otherwise(F.lit(10000))
+    kept = h < thresh
+    return (
+        d.select("lang", kept.alias("kept"), F.length("text").alias("_len"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("kept")).cast("bigint").alias("n_kept"),
+            _r6(F.count_if(F.col("kept")) / F.count(F.lit(1))).alias(
+                "realized_rate"
+            ),
+            _r6(F.avg(F.when(F.col("kept"), F.col("_len")))).alias(
+                "mean_len_kept"
+            ),
+        )
+    )
+
+
+_Q52_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {int(rate * 10000)}"
+    for lang, rate in _Q52_RATES.items()
+) + " ELSE 10000 END"
+
+_Q52_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         (CAST('0x' || substr(md5('q52:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 10000) < ({_Q52_CASE}) AS kept,
+         length(text) AS _len
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count_if(kept) AS BIGINT) AS n_kept,
+       round(count_if(kept) / CAST(count(*) AS DOUBLE), 6) AS realized_rate,
+       round(avg(CASE WHEN kept THEN _len END), 6) AS mean_len_kept
+FROM s GROUP BY lang
+"""
+
+
 def q47_neardup_clusters(spark, sf_dir, max_bucket_size: int | None = None,
                          salt: int | None = None,
                          n_bands: int | None = None,
@@ -3055,6 +3213,8 @@ QUERIES = {
         q50_modality_reconciliation, text_n_bands=_MH_BANDS, rows_per_band=2,
         emb_n_bands=_ND_BANDS, planes_per_band=_ND_PLANES_PER_BAND
     ),
+    "q51_decontamination": q51_decontamination,
+    "q52_stratified_sample": q52_stratified_sample,
 }
 
 ORACLES = {
@@ -3104,6 +3264,8 @@ ORACLES = {
     "q48_dedup_corpus": _Q48_SQL,
     "q49_embedding_clusters": _Q49_SQL,
     "q50_modality_reconciliation": _Q50_SQL,
+    "q51_decontamination": _Q51_SQL,
+    "q52_stratified_sample": _Q52_SQL,
 }
 
 

@@ -1,0 +1,96 @@
+"""Semantics of the corpus-curation operators q51 (benchmark
+decontamination) and q52 (deterministic stratified sampling)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bucket(doc_id_col, salt: str = "", mod: int = 100):
+    key = F.concat(F.lit(salt), doc_id_col.cast("string")) if salt else (
+        doc_id_col.cast("string")
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % mod
+
+
+def test_decontamination_reports_only_train_docs(spark):
+    """Every contaminated doc q51 reports must sit in the train bucket
+    (md5 % 100 < 80) — never in the benchmark split itself."""
+    from real_time_anomaly_detection_spark.queries import q51_decontamination
+
+    out = q51_decontamination(spark, SF)
+    bad = out.filter(_bucket(F.col("doc_id")) >= 80).count()
+    assert bad == 0
+    rows = out.collect()
+    assert rows, "synthetic corpus plants near-dups across splits"
+    assert all(r.n_shared_grams >= 1 and r.n_bench_docs >= 1 for r in rows)
+
+
+def test_decontamination_finds_planted_overlap(spark):
+    """A train doc and a benchmark doc sharing an 8-token span must be
+    flagged; the gram count must equal the distinct shared windows."""
+    from real_time_anomaly_detection_spark.queries import q51_decontamination
+
+    # doc ids chosen so md5-bucket(train)<80 and md5-bucket(bench)>=90
+    train_id, bench_id = 1, 0
+    df = spark.createDataFrame(
+        [
+            (train_id, "a b c d e f g h i j", "en", "srcX", 19),
+            (bench_id, "z a b c d e f g h i", "en", "srcY", 19),
+            (3, "q r s t u v w x y z2", "en", "srcZ", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", _bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    assert buckets[train_id] < 80 and buckets[bench_id] >= 90, buckets
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in q51_decontamination(spark, d).collect()
+        }
+    # shared 8-gram windows of the two texts: 'a b c d e f g h' and
+    # 'b c d e f g h i' appear in both docs
+    assert set(out) == {train_id}
+    assert out[train_id].n_shared_grams == 2
+    assert out[train_id].n_bench_docs == 1
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """q52's rollup must agree with the WHERE-filter materialization of the
+    same predicate, hit the configured rate within binomial noise, and be
+    bit-identical across invocations."""
+    from real_time_anomaly_detection_spark.queries import (
+        _Q52_RATES,
+        load,
+        q52_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = {r.lang: r for r in q52_stratified_sample(spark, sf).collect()}
+    b = {r.lang: r for r in q52_stratified_sample(spark, sf).collect()}
+    assert {k: (v.n_kept, v.realized_rate) for k, v in a.items()} == {
+        k: (v.n_kept, v.realized_rate) for k, v in b.items()
+    }
+    for lang, rate in _Q52_RATES.items():
+        got = a[lang].realized_rate
+        n = a[lang].n_total
+        # 4-sigma binomial envelope around the target rate
+        tol = 4 * (rate * (1 - rate) / n) ** 0.5
+        assert abs(got - rate) <= tol, (lang, got, rate, tol)
+
+    # the predicate as a WHERE filter reproduces the rollup's kept counts
+    d = load(spark, sf, "documents")
+    h = _bucket(F.col("doc_id"), salt="q52:", mod=10000)
+    thresh = None
+    for lang, rate in _Q52_RATES.items():
+        cond, val = F.col("lang") == lang, F.lit(int(rate * 10000))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    kept = d.filter(h < thresh.otherwise(F.lit(10000)))
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {k: v.n_kept for k, v in a.items()}

@@ -251,3 +251,24 @@ def test_drop_non_keepers_regimes_agree(spark):
     )
     assert kept_b == kept_s == kept_auto
     assert len(kept_b) == 66 and 0 not in kept_b and 1 in kept_b
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """q51's contamination probe must broadcast the (small-by-definition)
+    benchmark gram set and never shuffle the corpus-side grams into a
+    sort-merge join — the corpus side is 100 TB, the benchmark is not."""
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    p = plan_str(QUERIES["q51_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_stratified_sample_is_one_scan_one_agg(spark):
+    """q52 is a map-side predicate + one hash aggregate: exactly one
+    exchange (the per-lang agg), no join, no window."""
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    p = plan_str(QUERIES["q52_stratified_sample"](spark, SF))
+    assert "Join" not in p and "Window" not in p, p
+    assert p.count("Exchange") == 1, p
