@@ -161,19 +161,35 @@ def q46_evidence(spark, sf_dir: str) -> dict:
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     idx = {int(v): i for i, v in enumerate(vid)}
 
-    by_probe: dict[int, set[int]] = {}
-    for r in q46_ann_ivf_trained(spark, sf_dir).collect():
-        by_probe.setdefault(int(r.probe_id), set()).add(int(r.cand_id))
-    k = max(len(s) for s in by_probe.values())
-    hits = tot = 0
-    for p, cands in by_probe.items():
-        sims = xn @ xn[idx[p]]
-        sims[idx[p]] = -np.inf
-        truth = {int(vid[i]) for i in np.lexsort((vid, -sims))[:k]}
-        hits += len(cands & truth)
-        tot += k
+    def recall_at(nprobe: int) -> tuple[int, float]:
+        by_probe: dict[int, set[int]] = {}
+        for r in q46_ann_ivf_trained(spark, sf_dir, nprobe=nprobe).collect():
+            by_probe.setdefault(int(r.probe_id), set()).add(int(r.cand_id))
+        k = max(len(s) for s in by_probe.values())
+        hits = tot = 0
+        for p, cands in by_probe.items():
+            sims = xn @ xn[idx[p]]
+            sims[idx[p]] = -np.inf
+            truth = {int(vid[i]) for i in np.lexsort((vid, -sims))[:k]}
+            hits += len(cands & truth)
+            tot += k
+        return k, round(hits / tot, 3)
+
+    # Curve, not a point: the sf corpora are UNCLUSTERED gaussians (worst
+    # case for any IVF — the clustered-corpus recall >=0.8 at nprobe=4 is
+    # pytest-pinned in tests/test_neardup.py), so the artifact shows the
+    # nprobe knob buying recall monotonically rather than one low number
+    # with no context.
+    curve: dict[str, float] = {}
+    k = 0
+    for np_ in sorted({_IVF_NPROBE, 4, 8, 16}):
+        k, r = recall_at(np_)
+        curve[str(np_)] = r
     return {"n_cells": _ivf_cells_for(len(x)), "nprobe": _IVF_NPROBE,
-            "topk": k, "recall": round(hits / tot, 3)}
+            "topk": k, "recall": curve[str(_IVF_NPROBE)],
+            "recall_by_nprobe": curve,
+            "corpus": "unclustered gaussian (IVF worst case; clustered-corpus"
+                      " recall pinned >=0.8 at nprobe=4 in tests)"}
 
 
 def clips_table(spark, n_clips: int):
