@@ -245,6 +245,28 @@ def bench_validation(spark, n_clips: int) -> tuple[list[float], int]:
     return sorted(times), n_rows
 
 
+def bench_audio_neardup(spark, n_clips: int) -> tuple[list[float], int]:
+    """Time the audio near-dup pipeline (fingerprints -> banded Hamming
+    pairs) over the SAME bench clips table the validation metric uses.
+    count() is a faithful action here: the expensive stages (payload decode
+    + FFT inside mapInPandas, the banded self-join, the distinct) cannot be
+    pruned under it."""
+    from real_time_anomaly_detection_spark.operators import (
+        audio_fingerprint as AFP,
+    )
+
+    _, clips, _ = clips_table(spark, n_clips)
+    n_pairs = 0
+    times = []
+    for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        n_pairs = AFP.neardup_pairs(AFP.fingerprints(clips)).count()
+        times.append(time.perf_counter() - t0)
+    return sorted(times), n_pairs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -306,6 +328,14 @@ def main() -> None:
         "max": round(vtimes[-1], 3), "runs": len(vtimes),
     }
 
+    atimes, n_audio_pairs = bench_audio_neardup(spark, n_clips)
+    asec = atimes[len(atimes) // 2]
+    qtimes["audio_neardup"] = round(asec, 3)
+    envelope["audio_neardup"] = {
+        "median": round(asec, 3), "min": round(atimes[0], 3),
+        "max": round(atimes[-1], 3), "runs": len(atimes),
+    }
+
     total = round(sum(qtimes.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     q46x = q46_evidence(spark, sf_dir) if "q46_ann_ivf_trained" in names else None
@@ -335,6 +365,11 @@ def main() -> None:
                                       "(q29/q34 @0.5, q42 @0.9); registry "
                                       "oracle geometry not benched",
                     "scaling_evidence_file": "BENCH/BASELINE.md",
+                    "audio_neardup": {
+                        "n_clips": vrows,
+                        "n_pairs": n_audio_pairs,
+                        "clips_per_sec": round(vrows / asec, 1),
+                    },
                 },
             }
     )

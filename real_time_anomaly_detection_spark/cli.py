@@ -159,6 +159,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-clipping-ratio", type=float, default=0.01)
     p.add_argument("--max-silence-ratio", type=float, default=0.9)
 
+    p = sub.add_parser("audio-neardup")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="output root: fingerprints/, pairs/, clusters/")
+    p.add_argument("--max-hamming", type=int, default=7,
+                   help="pair threshold out of 128 bits (banded join is "
+                        "recall-exact up to 7)")
+    p.add_argument("--bucket-cap", type=int, default=5000,
+                   help="drop (band,value) buckets larger than this; "
+                        "<=0 disables the cap")
+
     p = sub.add_parser("stream-dedup")
     _add_common(p)
     p.add_argument("--input", required=True, help="documents parquet dir watched as a stream")
@@ -377,6 +389,32 @@ def main(argv: list[str] | None = None) -> None:
         from .streaming.dedup_stream import compact_store
 
         print(json.dumps(compact_store(spark, args.out, args.checkpoint)))
+        return
+
+    if args.cmd == "audio-neardup":
+        from pyspark.sql import functions as F
+
+        from .operators import audio_fingerprint as AFP
+        from .operators.components import connected_components
+
+        clips = spark.read.parquet(args.input)
+        fps = AFP.fingerprints(clips)
+        fps.write.mode("overwrite").parquet(
+            os.path.join(args.out, "fingerprints")
+        )
+        fps = spark.read.parquet(os.path.join(args.out, "fingerprints"))
+        cap = args.bucket_cap if args.bucket_cap > 0 else None
+        pairs = AFP.neardup_pairs(fps, max_hamming=args.max_hamming,
+                                  bucket_cap=cap)
+        pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+        pairs = spark.read.parquet(os.path.join(args.out, "pairs"))
+        labels = connected_components(pairs.select("clip_a", "clip_b"))
+        labels.select(
+            F.col("doc_id").alias("clip_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+        print(args.out)
         return
 
     if args.cmd == "features":

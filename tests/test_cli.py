@@ -120,3 +120,33 @@ def test_dedup_apply_cli(spark, tmp_path):
     survivors = sorted(
         r.doc_id for r in spark.read.parquet(os.path.join(out, "survivors")).collect())
     assert survivors == [0, 10, 20]
+
+
+def test_audio_neardup_cli(spark, tmp_path):
+    """audio-neardup: fingerprints + banded-Hamming pairs + clusters from a
+    clips table. Synth plants exact duplicate rows sharing their canonical
+    signal, so pairs must be non-empty, hamming-0 pairs must exist, and
+    every cluster keeper must be its cluster's min clip_id."""
+    data = str(tmp_path / "an_clips")
+    cli.main(["synth", "--n-clips", "300", "--clips-per-partition", "100",
+              "--out", data])
+    out = str(tmp_path / "an_out")
+    cli.main(["audio-neardup", "--input", data, "--out", out])
+    fps = spark.read.parquet(os.path.join(out, "fingerprints"))
+    pairs = spark.read.parquet(os.path.join(out, "pairs"))
+    clusters = spark.read.parquet(os.path.join(out, "clusters"))
+    assert fps.count() == 300
+    assert fps.filter(~fps.fp_ok).count() == 0
+    n_pairs = pairs.count()
+    assert n_pairs > 0 and pairs.filter(pairs.hamming == 0).count() > 0
+    assert pairs.filter(pairs.hamming > 7).count() == 0
+    from pyspark.sql import functions as F
+
+    bad_keeper = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("clip_id").alias("lo"), F.count(F.lit(1)).alias("n"))
+        .join(clusters.filter("is_keeper"), "cluster_id")
+        .filter((F.col("clip_id") != F.col("lo")) | (F.col("clip_id") != F.col("cluster_id")))
+        .count()
+    )
+    assert bad_keeper == 0
