@@ -103,6 +103,36 @@ print("RESULT " + json.dumps({"cores": cores, "sec": total, "per_query": med,
 """
 
 
+_CHILD_AUDIO = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RTAD_REPO"])
+import bench  # reuse the cached bench clips table (synthesized once)
+from real_time_anomaly_detection_spark.operators import audio_fingerprint as AFP
+from real_time_anomaly_detection_spark.session import get_spark
+
+cores = int(os.environ["RTAD_CORES"])
+n_clips = int(os.environ["RTAD_CLIPS"])
+spark = get_spark(f"rtad-audioscaling-{cores}", cores=cores,
+                  shuffle_partitions=max(cores, 8))
+_, clips, _ = bench.clips_table(spark, n_clips)
+n = clips.count()
+
+def run_once():
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(2)
+    t0 = time.perf_counter()
+    n_pairs = AFP.neardup_pairs(AFP.fingerprints(clips)).count()
+    return time.perf_counter() - t0, n_pairs
+
+run_once()  # warm-up
+runs = sorted(run_once() for _ in range(3))
+sec, n_pairs = runs[1]
+print("RESULT " + json.dumps({"cores": cores, "sec": sec, "n_clips": n,
+                              "n_pairs": n_pairs, "clips_per_sec": n / sec}))
+"""
+
+
 def _burn(n: int) -> int:
     x = 0
     for _ in range(n):
@@ -250,17 +280,60 @@ hot buckets (queries.py:_lsh_candidate_pairs, both pytest-pinned).
 """)
 
 
+def main_audio(args, lo: int, hi: int) -> None:
+    """Scaling evidence for the audio near-dup pipeline (fingerprints ->
+    banded Hamming pairs): the payload-heaviest operator — per-clip decode
+    + FFT inside one mapInPandas scan (embarrassingly parallel, the scaling
+    floor should be the CPU ceiling) feeding the chunk self-join + distinct
+    (the only shuffles). APPENDS to the report."""
+    ceiling = measure_ceiling(lo, hi)
+    mem_ceiling = measure_mem_ceiling(lo, hi)
+    r_lo = run_level(lo, args.clips, child=_CHILD_AUDIO)
+    r_hi = run_level(hi, args.clips, child=_CHILD_AUDIO)
+    eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (hi / lo)
+    print(json.dumps({"N": r_lo, "4N": r_hi, "efficiency": round(eff, 3),
+                      "cpu_ceiling": round(ceiling["ceiling"], 3),
+                      "mem_ceiling": round(mem_ceiling, 3)}))
+    with open(args.out, "a") as f:
+        f.write(f"""
+## Audio near-dup pair: local[{lo}] -> local[{hi}] (round 6)
+
+Same protocol (separate processes, warm-up + median of 3, cache cleared +
+driver GC before every timed run) on the audio fingerprint near-dup
+pipeline over {r_lo['n_clips']} synthesized clips: per-clip PCM decode +
+FFT band descriptor + 128-bit hyperplane signature inside ONE mapInPandas
+payload scan, then the (band, chunk) self-join + Hamming verify +
+distinct ({r_lo['n_pairs']} pairs).
+
+| parallelism | wall sec (median) | clips/sec |
+| --- | --- | --- |
+| local[{lo}] | {r_lo['sec']:.2f} | {r_lo['clips_per_sec']:.1f} |
+| local[{hi}] | {r_hi['sec']:.2f} | {r_hi['clips_per_sec']:.1f} |
+
+**Audio near-dup scaling efficiency = {eff:.3f}** (pure-CPU ceiling for
+this pair {ceiling['ceiling']:.3f}, memory-bandwidth ceiling
+{mem_ceiling:.3f}; engine/CPU-ceiling = {eff / ceiling['ceiling']:.3f}).
+The fingerprint scan dominates and is map-side parallel; the join shuffles
+only 8 chunk rows + the 8-int band array per clip — fingerprint-scale, not
+payload-scale — so the pipeline tracks the machine's scaling envelope.
+""")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=40000)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
-    ap.add_argument("--mode", choices=["validate", "neardup"], default="validate")
+    ap.add_argument("--mode", choices=["validate", "neardup", "audio"],
+                    default="validate")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.cores.split(","))
 
     if args.mode == "neardup":
         main_neardup(args, lo, hi)
+        return
+    if args.mode == "audio":
+        main_audio(args, lo, hi)
         return
 
     # preserve manually-appended / neardup-mode sections across a validate
@@ -269,7 +342,8 @@ def main() -> None:
     if os.path.exists(args.out):
         prev = open(args.out).read()
         for marker in ("\n## Corroborating pair", "\n## Secondary pair",
-                       "\n## What changed", "\n## Near-dup family pair"):
+                       "\n## What changed", "\n## Near-dup family pair",
+                       "\n## Audio near-dup pair"):
             i = prev.find(marker)
             if i >= 0:
                 tail = prev[i:]

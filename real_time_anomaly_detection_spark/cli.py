@@ -171,6 +171,20 @@ def main(argv: list[str] | None = None) -> None:
                    help="drop (band,value) buckets larger than this; "
                         "<=0 disables the cap")
 
+    p = sub.add_parser("audio-containment")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="output root: frame_fps/ and containments/")
+    p.add_argument("--min-coverage", type=float, default=0.6,
+                   help="fraction of inner frames that must align at one "
+                        "offset")
+    p.add_argument("--max-hamming", type=int, default=6,
+                   help="per-frame fp bit-error tolerance out of 32")
+    p.add_argument("--value-cap", type=int, default=2000,
+                   help="drop (band,value) frame buckets larger than this; "
+                        "<=0 disables the cap")
+
     p = sub.add_parser("stream-dedup")
     _add_common(p)
     p.add_argument("--input", required=True, help="documents parquet dir watched as a stream")
@@ -414,6 +428,23 @@ def main(argv: list[str] | None = None) -> None:
             F.col("label").alias("cluster_id"),
             (F.col("doc_id") == F.col("label")).alias("is_keeper"),
         ).write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+        print(args.out)
+        return
+
+    if args.cmd == "audio-containment":
+        from .operators import audio_containment as ACT
+
+        clips = spark.read.parquet(args.input)
+        fps = ACT.frame_fingerprints(clips)
+        fps.write.mode("overwrite").parquet(os.path.join(args.out, "frame_fps"))
+        fps = spark.read.parquet(os.path.join(args.out, "frame_fps"))
+        cap = args.value_cap if args.value_cap > 0 else None
+        ACT.containment_pairs(
+            fps, min_coverage=args.min_coverage,
+            max_hamming=args.max_hamming, value_cap=cap,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "containments")
+        )
         print(args.out)
         return
 

@@ -122,6 +122,48 @@ def test_dedup_apply_cli(spark, tmp_path):
     assert survivors == [0, 10, 20]
 
 
+def test_audio_containment_cli(spark, tmp_path):
+    """audio-containment: frame fingerprints + offset-vote containments
+    from a clips table with planted trimmed excerpts."""
+    import numpy as np
+
+    from real_time_anomaly_detection_spark.audio import codecs
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    seg = sr // 4
+    t = np.arange(seg) / sr
+
+    def chaptered(seed):
+        r = np.random.default_rng(seed)
+        return np.concatenate([
+            sum(a * np.sin(2 * np.pi * f * t)
+                for f, a in zip(r.uniform(100, 3500, 3), r.uniform(0.3, 1, 3)))
+            for _ in range(8)
+        ])
+
+    rows = []
+    for i in range(4):
+        x = chaptered(200 + i)
+        rows.append((i, f"outer_{i}", codecs.pcm16_encode(x), sr, "pcm16"))
+        s0 = int((0.3 + 0.1 * i) * sr) + int(rng.integers(0, 128))
+        rows.append((i, f"inner_{i}",
+                     codecs.pcm16_encode(0.5 * x[s0: s0 + sr]), sr, "pcm16"))
+    data = str(tmp_path / "ct_clips")
+    spark.createDataFrame(
+        rows, "part_id int, clip_id string, bytes binary, sr_hz long, codec string"
+    ).write.parquet(data)
+
+    out = str(tmp_path / "ct_out")
+    cli.main(["audio-containment", "--input", data, "--out", out])
+    fps = spark.read.parquet(os.path.join(out, "frame_fps"))
+    assert fps.count() == 8 and fps.filter(~fps.fp_ok).count() == 0
+    got = {(r.inner, r.outer)
+           for r in spark.read.parquet(os.path.join(out, "containments")).collect()}
+    assert {(f"inner_{i}", f"outer_{i}") for i in range(4)} <= got
+    assert not {(a, b) for a, b in got if a.split("_")[1] != b.split("_")[1]}
+
+
 def test_audio_neardup_cli(spark, tmp_path):
     """audio-neardup: fingerprints + banded-Hamming pairs + clusters from a
     clips table. Synth plants exact duplicate rows sharing their canonical
