@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> None:
                        help="also detect identical audio payloads under "
                             "different clip_ids (second bytes scan, "
                             "digest-only shuffle)")
+        p.add_argument("--label-consistency", action="store_true",
+                       help="also flag content-duplicate clips whose "
+                            "transcripts disagree after normalization "
+                            "(shares the content-dedup digest pass)")
         p.add_argument("--n-clips", type=int, default=10000)
         p.add_argument("--clips-per-partition", type=int, default=1000)
         p.add_argument("--golden", action="store_true")
@@ -170,6 +174,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bucket-cap", type=int, default=5000,
                    help="drop (band,value) buckets larger than this; "
                         "<=0 disables the cap")
+    p.add_argument("--transcript-conflicts", action="store_true",
+                   help="also write transcript_conflicts/: near-dup pairs "
+                        "whose transcripts' token Jaccard falls below "
+                        "--jaccard-floor (mislabel audit)")
+    p.add_argument("--jaccard-floor", type=float, default=0.8)
 
     p = sub.add_parser("audio-containment")
     _add_common(p)
@@ -422,6 +431,14 @@ def main(argv: list[str] | None = None) -> None:
                                   bucket_cap=cap)
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
         pairs = spark.read.parquet(os.path.join(args.out, "pairs"))
+        if args.transcript_conflicts:
+            from .operators.label_consistency import neardup_transcript_conflicts
+
+            neardup_transcript_conflicts(
+                clips, pairs, jaccard_floor=args.jaccard_floor
+            ).write.mode("overwrite").parquet(
+                os.path.join(args.out, "transcript_conflicts")
+            )
         labels = connected_components(pairs.select("clip_a", "clip_b"))
         labels.select(
             F.col("doc_id").alias("clip_id"),
@@ -530,8 +547,11 @@ def main(argv: list[str] | None = None) -> None:
         drift.make_baseline(spark.read.parquet(args.baseline)) if args.baseline else None
     )
     vcfg = engine.ValidationConfig()
-    if getattr(args, "content_dedup", False):
-        vcfg = engine.ValidationConfig(checks=(*vcfg.checks, "content_dedup"))
+    extra_checks = [c for flag, c in (("content_dedup", "content_dedup"),
+                                      ("label_consistency", "label_consistency"))
+                    if getattr(args, flag, False)]
+    if extra_checks:
+        vcfg = engine.ValidationConfig(checks=(*vcfg.checks, *extra_checks))
     ref_pcm_fn = None
     if getattr(args, "synth_oracle", False):
         from . import synth

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import manifest as mf
-from .operators import audio_checks, content_dedup, drift, referential, stats, uniqueness
+from .operators import (audio_checks, content_dedup, drift, label_consistency,
+                        referential, stats, uniqueness)
 from .schemas import PARTITION_VERDICTS, VIOLATIONS
 
 # Persisted DataFrames per validate() run, so callers can unpersist once the
@@ -99,6 +100,8 @@ class ValidationConfig:
             names.append("uniqueness")
         if "content_dedup" in self.checks:
             names.append("content_dedup")
+        if "label_consistency" in self.checks:
+            names.append("label_consistency")
         if "referential" in self.checks:
             names.append("referential")
         if "drift" in self.checks:
@@ -123,6 +126,8 @@ class ValidationConfig:
             names.append("uniqueness")
         if "content_dedup" in self.checks:
             names.append("content_dedup")
+        if "label_consistency" in self.checks:
+            names.append("label_consistency")
         if "referential" in self.checks and refs is not None:
             names.append("referential")
         if "drift" in self.checks and baseline_rows:
@@ -228,22 +233,34 @@ def validate(
             # the binary payload runs exactly once for verdicts AND violations
             checked = audio_checks.pcm_check(
                 clips, ref_pcm_fn, cfg.snr_threshold,
-                with_digest="content_dedup" in cfg.checks,
+                with_digest="content_dedup" in cfg.checks
+                or "label_consistency" in cfg.checks,
             ).persist()
             _PERSISTED[run_id].append(checked)
         _family("audio", _build_pcm)
 
-    if "content_dedup" in cfg.checks:
-        def _build_content_dedup():
+    # content_dedup and label_consistency share ONE persisted duplicate-
+    # content relation (and, transitively, the PCM pass's digest): the
+    # lazy getter builds it on first demand from whichever family runs
+    # first, so enabling both costs one digest agg, not two.
+    _dups_shared: list[DataFrame] = []
+
+    def _get_dups() -> DataFrame:
+        if not _dups_shared:
             fp = (
                 checked.select("part_id", "clip_id", "content_hash")
                 if checked is not None
                 else None  # audio off (or its plan failed): own digest scan
             )
-            # ONE digest agg, persisted (duplicate rows only), feeds both
-            # verdicts and violations
-            dups = content_dedup.duplicate_content(clips, cfg.part_col, fp=fp).persist()
-            _PERSISTED[run_id].append(dups)
+            # ONE digest agg, persisted (duplicate rows only)
+            d = content_dedup.duplicate_content(clips, cfg.part_col, fp=fp).persist()
+            _PERSISTED[run_id].append(d)
+            _dups_shared.append(d)
+        return _dups_shared[0]
+
+    if "content_dedup" in cfg.checks:
+        def _build_content_dedup():
+            dups = _get_dups()
             verdicts.append(
                 content_dedup.content_dedup_verdicts(clips, cfg.part_col, dups=dups)
             )
@@ -251,6 +268,19 @@ def validate(
                 content_dedup.content_dedup_violations(clips, cfg.part_col, dups=dups)
             )
         _family("content_dedup", _build_content_dedup)
+    if "label_consistency" in cfg.checks:
+        def _build_label_consistency():
+            # conflicts are a tiny subset of the (already tiny) dup rows;
+            # persist so verdicts and violations share the transcript joins
+            conflicts = label_consistency.transcript_conflicts(
+                clips, cfg.part_col, dups=_get_dups()
+            ).persist()
+            _PERSISTED[run_id].append(conflicts)
+            verdicts.append(label_consistency.label_consistency_verdicts(
+                clips, cfg.part_col, conflicts=conflicts))
+            violations.append(label_consistency.label_consistency_violations(
+                clips, cfg.part_col, conflicts=conflicts))
+        _family("label_consistency", _build_label_consistency)
     if "referential" in cfg.checks and refs is not None:
         def _build_referential():
             # same share-the-intermediate play: ONE anti-join pass, persisted

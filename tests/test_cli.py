@@ -122,6 +122,42 @@ def test_dedup_apply_cli(spark, tmp_path):
     assert survivors == [0, 10, 20]
 
 
+def test_audio_neardup_transcript_conflicts_cli(spark, tmp_path):
+    """audio-neardup --transcript-conflicts: near-identical audio under
+    disagreeing labels surfaces in transcript_conflicts/; agreeing
+    duplicates do not."""
+    import numpy as np
+
+    from real_time_anomaly_detection_spark.audio import codecs
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1300 * t)
+    y = np.sin(2 * np.pi * 700 * t) + 0.4 * np.sin(2 * np.pi * 2100 * t)
+    rows = [
+        (0, "m0", codecs.pcm16_encode(x), sr, "pcm16", "the same words"),
+        (1, "m1", codecs.pcm16_encode(0.5 * x), sr, "pcm16",
+         "entirely different words"),          # same audio, conflicting label
+        (0, "k0", codecs.pcm16_encode(y), sr, "pcm16", "agreeing label"),
+        (1, "k1", codecs.pcm16_encode(0.7 * y), sr, "pcm16", "Agreeing  LABEL"),
+    ]
+    data = str(tmp_path / "tc_clips")
+    spark.createDataFrame(
+        rows, "part_id int, clip_id string, bytes binary, sr_hz long, "
+              "codec string, transcript string"
+    ).write.parquet(data)
+    out = str(tmp_path / "tc_out")
+    cli.main(["audio-neardup", "--input", data, "--out", out,
+              "--transcript-conflicts"])
+    pair_keys = {(r.clip_a, r.clip_b) for r in
+                 spark.read.parquet(os.path.join(out, "pairs")).collect()}
+    assert {("k0", "k1"), ("m0", "m1")} <= pair_keys
+    conflicts = spark.read.parquet(
+        os.path.join(out, "transcript_conflicts")).collect()
+    assert {(r.clip_a, r.clip_b) for r in conflicts} == {("m0", "m1")}
+    assert conflicts[0].jaccard < 0.8
+
+
 def test_audio_containment_cli(spark, tmp_path):
     """audio-containment: frame fingerprints + offset-vote containments
     from a clips table with planted trimmed excerpts."""
