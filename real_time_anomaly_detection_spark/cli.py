@@ -196,14 +196,18 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("stream-dedup")
     _add_common(p)
-    p.add_argument("--input", required=True, help="documents parquet dir watched as a stream")
+    p.add_argument("--input", required=True,
+                   help="documents (or clips, --modality audio) parquet dir "
+                        "watched as a stream")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--out", required=True,
                    help="output root: pairs/ + bands_store/ + docs_store/")
-    p.add_argument("--modality", choices=["text", "embedding"], default="text")
+    p.add_argument("--modality", choices=["text", "embedding", "audio"],
+                   default="text")
     p.add_argument("--threshold", type=float,
                    help="similarity floor (default: 0.5 jaccard for text, "
-                        "0.45 cosine for embedding)")
+                        "0.45 cosine for embedding, 1-7.5/128 fingerprint "
+                        "similarity for audio)")
     p.add_argument("--max-bucket-size", type=int,
                    help="LOSSY hot-bucket cap: drop LSH buckets larger than "
                         "this before the candidate joins")
@@ -238,6 +242,9 @@ def main(argv: list[str] | None = None) -> None:
                         "any batch pair table")
     p.add_argument("--docs", required=True,
                    help="the full documents parquet to deduplicate")
+    p.add_argument("--id-col", default="doc_id",
+                   help="id column of --docs matching the pair ids "
+                        "(clips tables: clip_id)")
     p.add_argument("--out", required=True,
                    help="output root: clusters/ + survivors/")
     p.add_argument("--algorithm", choices=["star", "min_label"],
@@ -387,15 +394,21 @@ def main(argv: list[str] | None = None) -> None:
         clusters = spark.read.parquet(os.path.join(args.out, "clusters"))
         drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
         docs = spark.read.parquet(args.docs)
+        if args.id_col != "doc_id":
+            docs = docs.withColumnRenamed(args.id_col, "doc_id")
         # survivor anti-join strategy gated on drop-set size: broadcast
         # (map-side probe, corpus unshuffled) only when the non-keeper set
         # is small; shuffled sort-merge otherwise — at real 30-80% dup
         # rates the drop set is corpus-scale and a broadcast would OOM
         bcast = {"auto": None, "always": True, "never": False}[args.broadcast]
-        drop_non_keepers(
+        survivors = drop_non_keepers(
             docs, drop, broadcast=bcast,
             broadcast_max_rows=args.broadcast_max_rows,
-        ).write.mode("overwrite").parquet(os.path.join(args.out, "survivors"))
+        )
+        if args.id_col != "doc_id":
+            survivors = survivors.withColumnRenamed("doc_id", args.id_col)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(args.out, "survivors"))
         print(args.out)
         return
 

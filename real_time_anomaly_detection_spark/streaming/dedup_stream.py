@@ -1,6 +1,10 @@
 """Incremental near-duplicate detection at ingest time (streaming dedup),
-for BOTH modalities: text (MinHash-LSH, the q34 pipeline) and embeddings
-(banded cosine-LSH, the q42 pipeline).
+for ALL THREE modalities: text (MinHash-LSH, the q34 pipeline), embeddings
+(banded cosine-LSH, the q42 pipeline), and audio (whole-clip spectral
+fingerprints + banded Hamming, the operators/audio_fingerprint.py
+pipeline; the per-epoch payload decode runs ONCE — bands derive from the
+persisted fingerprint relation, not a second scan, and only the 8x8-byte
+fingerprint ever enters the stores or shuffles).
 
 The batch dedup family answers "which pairs in this corpus are near-dups?";
 a 100 TB ingest pipeline instead asks, PER ARRIVING BATCH, "which of these
@@ -60,6 +64,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import audio_fingerprint as _afp
 from ..queries import (
     _cosine_row_prob,
     _hashed_tokens,
@@ -71,6 +76,7 @@ from ..queries import (
 
 DOCS_SCHEMA = "doc_id long, text string"
 EMB_SCHEMA = "doc_id long, embedding array<float>"
+CLIPS_SCHEMA = "clip_id string, bytes binary, sr_hz long, codec string"
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.45
 STORE_BUCKETS = 64  # bump at real scale so small batches prune hard
@@ -130,14 +136,81 @@ def _cosine(ca: str, cb: str):
     return dot / (norm(ca) * norm(cb))
 
 
-# (schema, prepare, bands_fn, sim_fn, default_threshold, per_row_prob,
-#  rows-knob name) — per_row_prob feeds the threshold->banding derivation
-# (identity for Jaccard, the hyperplane map for cosine).
+def _audio_prepare(batch: DataFrame) -> DataFrame:
+    """(doc_id, payload) with payload = the whole-clip 128-bit fingerprint
+    as 8 x 16-bit chunks (operators/audio_fingerprint.py) — ONE mapInPandas
+    decode+FFT pass; `bytes` never leaves the map stage. Undecodable /
+    too-short clips are DROPPED here: an item with no fingerprint cannot be
+    deduplicated, and decode-error REPORTING is the validation engine's job
+    (audio_checks), not the dedup stream's."""
+    fps = _afp.fingerprints(
+        batch.select(
+            F.lit(0).alias("part_id"),
+            F.col("doc_id").alias("clip_id"),
+            "bytes", "sr_hz", "codec",
+        )
+    )
+    return fps.filter(F.col("fp_ok")).select(
+        F.col("clip_id").alias("doc_id"), F.col("bands").alias("payload")
+    )
+
+
+def _audio_bands(pay: DataFrame, n_bands: int = 8,
+                 bits_per_band: int = 16) -> DataFrame:
+    """(doc_id, band, bucket) from the PREPARED payload relation — the
+    audio modality's bands derive from prepare()'s output (bands_source =
+    'payload' in _MODALITIES) so the expensive decode scan runs once per
+    epoch. Geometry is FIXED by the fingerprint definition (8 chunks x 16
+    bits, `audio_fingerprint._AF_CHUNKS`); the arguments exist only to
+    satisfy the modality contract and are validated in stream_dedup."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col("payload").getItem(b).alias("bucket"),
+            )
+            for b in range(_afp._AF_CHUNKS)
+        ]
+    )
+    return pay.select("doc_id", F.explode(chunks).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _audio_sim(ca: str, cb: str):
+    """similarity = 1 - hamming/128 over the chunked fingerprints — the
+    Hamming verify of audio_fingerprint.neardup_pairs recast as the store
+    pipeline's similarity-floor contract."""
+    ham = F.aggregate(
+        F.zip_with(
+            F.col(ca), F.col(cb), lambda p, q: F.bit_count(p.bitwiseXOR(q))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return F.lit(1.0) - ham / F.lit(float(_afp._AF_BITS))
+
+
+# default floor accepts hamming <= _AF_HAM_MAX (the batch default) and
+# rejects _AF_HAM_MAX+1; the half-step keeps the 6-dp similarity rounding
+# in _verify away from the decision boundary
+AUDIO_SIM_THRESHOLD = 1.0 - (_afp._AF_HAM_MAX + 0.5) / _afp._AF_BITS
+
+
+# (schema, id_col, prepare, bands_fn, bands_source, sim_fn,
+#  default_threshold, per_row_prob, rows-knob name) — per_row_prob feeds
+# the threshold->banding derivation (identity for Jaccard, the hyperplane
+# map for cosine; None+None = fixed geometry, audio). bands_source says
+# what bands_fn consumes: the raw batch ("raw") or prepare()'s output
+# ("payload" — used when prepare is the expensive scan to run once).
 _MODALITIES = {
-    "text": (DOCS_SCHEMA, _text_prepare, _text_bands, _jaccard,
-             JACCARD_THRESHOLD, None, "rows_per_band"),
-    "embedding": (EMB_SCHEMA, _emb_prepare, _emb_bands, _cosine,
-                  COSINE_THRESHOLD, _cosine_row_prob, "planes_per_band"),
+    "text": (DOCS_SCHEMA, "doc_id", _text_prepare, _text_bands, "raw",
+             _jaccard, JACCARD_THRESHOLD, None, "rows_per_band"),
+    "embedding": (EMB_SCHEMA, "doc_id", _emb_prepare, _emb_bands, "raw",
+                  _cosine, COSINE_THRESHOLD, _cosine_row_prob,
+                  "planes_per_band"),
+    "audio": (CLIPS_SCHEMA, "clip_id", _audio_prepare, _audio_bands,
+              "payload", _audio_sim, AUDIO_SIM_THRESHOLD, None, None),
 }
 
 
@@ -627,9 +700,11 @@ def stream_dedup(
     band_kwargs: dict | None = None,
     train_planes: bool = False,
 ):
-    """Watch `input_path` for new files of the given modality; emit verified
-    near-dup pairs per epoch under `out_dir`/pairs/epoch_id=N. `doc_a` is the
-    previously-seen (or lower-id within-batch) item, `doc_b` the new one.
+    """Watch `input_path` for new files of the given modality ("text",
+    "embedding", or "audio"); emit verified near-dup pairs per epoch under
+    `out_dir`/pairs/epoch_id=N. `doc_a` is the previously-seen (or
+    lower-id within-batch) item, `doc_b` the new one (audio: clip_ids —
+    the stores and pairs carry them as string doc_id/doc_a/doc_b).
     `max_bucket_size`/`salt` are the hot-bucket mitigations from the batch
     pipelines, applied to both the within-batch and store joins.
     Band geometry DEFAULTS to the threshold-matched derivation
@@ -642,20 +717,44 @@ def stream_dedup(
     and validated on every later run — a mismatched re-invocation raises
     instead of silently dropping cross-batch pairs. Returns the
     StreamingQuery."""
-    (schema, prepare, bands_fn, sim_fn, default_thr,
+    (schema, id_col, prepare, bands_fn, bands_source, sim_fn, default_thr,
      row_prob, rows_key) = _MODALITIES[modality]
     threshold = default_thr if threshold is None else threshold
     # Resolve the band geometry ONCE, before anything touches the store:
     # explicit band_kwargs win; otherwise it is derived from the threshold
     # (queries._banding_for — the scale-safe default, VERDICT r4 #1).
     kw = dict(band_kwargs or {})
-    unknown = set(kw) - {"n_bands", rows_key}
-    if unknown:
-        raise ValueError(f"unknown band_kwargs for {modality}: {sorted(unknown)}")
-    nb, rows = _resolve_banding(
-        kw.get("n_bands"), kw.get(rows_key), threshold, row_prob
-    )
-    banding = {"n_bands": nb, rows_key: rows}
+    if rows_key is None:
+        # fixed-geometry modality (audio): the fingerprint definition IS
+        # the banding — _AF_CHUNKS x 16-bit chunks — so there is nothing to
+        # derive or override. Banded recall is EXACT (pigeonhole) only for
+        # thresholds admitting hamming <= n_chunks-1; a lower floor would
+        # silently miss pairs sharing no clean chunk, which is precisely
+        # the failure class this module's guards exist to prevent — raise.
+        if kw:
+            raise ValueError(
+                f"band_kwargs not supported for {modality}: the geometry is "
+                "fixed by the fingerprint definition (8 x 16-bit chunks)")
+        nb = _afp._AF_CHUNKS
+        rows = _afp._AF_BITS // _afp._AF_CHUNKS
+        # the INTEGER hamming ceiling this floor admits (similarities are
+        # exact multiples of 1/128, so floor() is the right cast)
+        h_max = int((1.0 - threshold) * _afp._AF_BITS + 1e-9)
+        if h_max > nb - 1:
+            raise ValueError(
+                f"threshold {threshold} admits hamming {h_max} > {nb - 1}, "
+                f"past the {nb}-chunk pigeonhole recall guarantee; lowest "
+                f"exact floor is {1.0 - (nb - 1) / _afp._AF_BITS}")
+        banding = {"n_bands": nb, "bits_per_band": rows}
+    else:
+        unknown = set(kw) - {"n_bands", rows_key}
+        if unknown:
+            raise ValueError(
+                f"unknown band_kwargs for {modality}: {sorted(unknown)}")
+        nb, rows = _resolve_banding(
+            kw.get("n_bands"), kw.get(rows_key), threshold, row_prob
+        )
+        banding = {"n_bands": nb, rows_key: rows}
     if train_planes and modality != "embedding":
         raise ValueError("train_planes applies to the embedding modality only")
     if train_planes:
@@ -701,10 +800,21 @@ def stream_dedup(
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if id_col != "doc_id":
+            batch_df = batch_df.withColumnRenamed(id_col, "doc_id")
         batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
-        new_bands = bands_of(batch_df).persist()
-        cached = [batch_df, new_bands]
+        cached = [batch_df]
         new_pay = prepare(batch_df)
+        if bands_source == "payload":
+            # prepare() is the expensive payload scan (audio: decode+FFT);
+            # persist it and derive bands FROM it so the scan runs once per
+            # epoch — never once for bands and again for the store write
+            new_pay = new_pay.persist()
+            cached.append(new_pay)
+            new_bands = bands_of(new_pay).persist()
+        else:
+            new_bands = bands_of(batch_df).persist()
+        cached.append(new_bands)
 
         # within-batch pairs: the batch helper verbatim (bucketed self-join,
         # ordered doc_a < doc_b, probe repartition + cap/salt knobs)

@@ -117,6 +117,88 @@ def test_embedding_stream_dedup_matches_batch(spark, tmp_path):
     assert not any(12 in p for p in got_pairs)
 
 
+def test_audio_stream_dedup_matches_batch(spark, tmp_path):
+    """Audio modality: streamed pairs equal the batch audio_fingerprint
+    pipeline's on the unioned clips corpus — cross-batch perceptual dups
+    (gain change, μ-law re-encode) found at ingest, similarity = the batch
+    Hamming recast as 1 - h/128, undecodable rows dropped pair-free, and
+    the fixed 8x16-bit geometry guarded (threshold floor + band_kwargs +
+    cross-modality marker all raise)."""
+    import numpy as np
+    import pytest
+
+    from real_time_anomaly_detection_spark.audio import codecs
+    from real_time_anomaly_detection_spark.operators import audio_fingerprint as AFP
+
+    sr = 16000
+    t = np.arange(sr) / sr
+
+    def tone(fs, amps):
+        return sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(fs, amps))
+
+    x = tone((440, 1300, 2500), (1.0, 0.5, 0.25))
+    y = tone((700, 2100), (1.0, 0.4))
+    z = tone((300, 900, 3300), (0.8, 0.6, 0.3))
+    b1 = [
+        ("c1", codecs.pcm16_encode(x), sr, "pcm16"),
+        ("c2", codecs.pcm16_encode(0.5 * x), sr, "pcm16"),  # within-batch dup
+        ("c3", codecs.pcm16_encode(y), sr, "pcm16"),
+    ]
+    b2 = [
+        ("c10", codecs.ulaw_encode(0.8 * x), sr, "ulaw"),   # cross-batch dup
+        ("c11", codecs.pcm16_encode(z), sr, "pcm16"),
+        ("bad", b"\x01", sr, "nosuchcodec"),                # undecodable
+    ]
+    src = str(tmp_path / "as_src")
+    out = str(tmp_path / "as_out")
+    ckpt = str(tmp_path / "as_ckpt")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, dedup_stream.CLIPS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q = dedup_stream.stream_dedup(spark, src, ckpt, out, modality="audio")
+        q.awaitTermination()
+    got = spark.read.parquet(os.path.join(out, "pairs"))
+    got_pdf = got.toPandas()
+    got_pairs = _norm(got_pdf)
+
+    all_clips = spark.createDataFrame(
+        [(0, *r) for r in b1 + b2],
+        "part_id int, clip_id string, bytes binary, sr_hz long, codec string",
+    )
+    truth = AFP.neardup_pairs(AFP.fingerprints(all_clips)).toPandas()
+    assert got_pairs == {
+        frozenset((a, b)) for a, b in zip(truth.clip_a, truth.clip_b)}
+    assert frozenset(("c1", "c2")) in got_pairs    # within-batch
+    assert frozenset(("c1", "c10")) in got_pairs   # cross-batch, re-encoded
+    assert not any("bad" in p for p in got_pairs)
+    assert not any("c3" in p or "c11" in p for p in got_pairs)
+    # similarity is the batch Hamming recast: 1 - h/128, 6-dp rounded
+    tv = {frozenset((a, b)): h
+          for a, b, h in zip(truth.clip_a, truth.clip_b, truth.hamming)}
+    for a, b, s in zip(got_pdf.doc_a, got_pdf.doc_b, got_pdf.similarity):
+        assert s == round(1.0 - tv[frozenset((a, b))] / 128.0, 6)
+    # cross-batch pair attributed to the arrival epoch
+    e1 = got.filter(F.col("epoch_id") == 1).toPandas()
+    assert frozenset(("c1", "c10")) in _norm(e1)
+
+    # redrain without new files: no-op
+    before = got.count()
+    dedup_stream.stream_dedup(spark, src, ckpt, out,
+                              modality="audio").awaitTermination()
+    assert spark.read.parquet(os.path.join(out, "pairs")).count() == before
+
+    # guards: threshold past the pigeonhole bound; caller-supplied geometry;
+    # a different modality against this store's marker
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup_stream.stream_dedup(spark, src, ckpt, out, modality="audio",
+                                  threshold=0.9)
+    with pytest.raises(ValueError, match="fixed by the fingerprint"):
+        dedup_stream.stream_dedup(spark, src, ckpt, out, modality="audio",
+                                  band_kwargs={"n_bands": 4})
+    with pytest.raises(ValueError, match="store-layout parameters differ"):
+        dedup_stream.stream_dedup(spark, src, ckpt, out, modality="text")
+
+
 def test_reingested_doc_id_does_not_self_pair(spark, tmp_path):
     """A document re-sent in a later batch (same doc_id, same text) must not
     emit a (x, x, 1.0) self-pair from the cross-batch join."""
@@ -488,6 +570,41 @@ def test_dedup_apply_over_streamed_pairs(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(applied, "survivors")).collect()
     )
     assert survivors == [1, 3, 12]
+
+
+def test_dedup_apply_over_audio_stream_pairs(spark, tmp_path):
+    """The audio stream's pairs root (string clip_ids) composes with
+    dedup-apply via --id-col: the clips corpus is deduplicated to one
+    keeper per perceptual-duplicate cluster, original schema preserved."""
+    import numpy as np
+
+    from real_time_anomaly_detection_spark import cli
+    from real_time_anomaly_detection_spark.audio import codecs
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1300 * t)
+    y = np.sin(2 * np.pi * 700 * t) + 0.4 * np.sin(2 * np.pi * 2100 * t)
+    rows = [
+        ("c1", codecs.pcm16_encode(x), sr, "pcm16"),
+        ("c2", codecs.pcm16_encode(0.5 * x), sr, "pcm16"),
+        ("c3", codecs.ulaw_encode(0.8 * x), sr, "ulaw"),
+        ("k1", codecs.pcm16_encode(y), sr, "pcm16"),
+    ]
+    src = str(tmp_path / "da_src")
+    out = str(tmp_path / "da_out")
+    ckpt = str(tmp_path / "da_ckpt")
+    spark.createDataFrame(rows, dedup_stream.CLIPS_SCHEMA) \
+        .coalesce(1).write.parquet(src)
+    dedup_stream.stream_dedup(spark, src, ckpt, out,
+                              modality="audio").awaitTermination()
+
+    applied = str(tmp_path / "da_applied")
+    cli.main(["dedup-apply", "--pairs", os.path.join(out, "pairs"),
+              "--docs", src, "--id-col", "clip_id", "--out", applied])
+    survivors = spark.read.parquet(os.path.join(applied, "survivors"))
+    assert sorted(r.clip_id for r in survivors.collect()) == ["c1", "k1"]
+    assert survivors.columns[0] == "clip_id"  # original schema preserved
 
 
 def test_cluster_update_incremental_over_streamed_pairs(spark, tmp_path):
