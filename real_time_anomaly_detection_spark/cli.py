@@ -271,6 +271,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True,
                    help="clusters root: clusters_store/ + clusters_head.json")
     p.add_argument("--max-iters", type=int, default=25)
+    p.add_argument("--retain-snapshots", type=int,
+                   help="keep only the newest K full label snapshots after "
+                        "the head commits (default: keep all; each snapshot "
+                        "is O(corpus) — prune in production)")
 
     p = sub.add_parser("compact")
     _add_common(p)
@@ -417,7 +421,8 @@ def main(argv: list[str] | None = None) -> None:
 
         print(json.dumps(
             update_clusters(spark, args.pairs, args.out,
-                            max_iters=args.max_iters)
+                            max_iters=args.max_iters,
+                            retain_snapshots=args.retain_snapshots)
         ))
         return
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -83,6 +84,7 @@ def update_clusters(
     pairs_root: str,
     out_dir: str,
     max_iters: int = 25,
+    retain_snapshots: int | None = None,
 ) -> dict:
     """Fold every pairs epoch above the committed head into the cluster
     labels. Returns a summary dict; a call with no new epochs is a no-op
@@ -91,7 +93,20 @@ def update_clusters(
     The snapshot is written BEFORE the head marker commits, so any crash
     leaves a resumable state: marker at the old head, and the retry
     recomputes the same snapshot into the same epoch dir (overwrite mode).
+
+    ``retain_snapshots``: keep only the newest K label snapshots after the
+    head commits (None = keep all). Every snapshot is a FULL label set, so
+    the default lineage-keep-everything policy costs O(corpus) storage PER
+    UPDATE — at web scale that is the dominant storage growth and pruning
+    is mandatory. Only snapshots STRICTLY BELOW the committed head are
+    ever deleted (the update path reads nothing but the head snapshot, and
+    a crashed retry recomputes into its own epoch dir), so pruning cannot
+    affect correctness or crash recovery — only how far back per-epoch
+    lineage reaches.
     """
+    if retain_snapshots is not None and retain_snapshots < 1:
+        raise ValueError("retain_snapshots must be >= 1 (the head "
+                         "snapshot is the incremental state)")
     head_rec = _read_head(out_dir)
     head_prev = head_rec["head"] if head_rec else -1
     epochs = _pairs_epochs(pairs_root)
@@ -124,4 +139,19 @@ def update_clusters(
     n = spark.read.parquet(snap).count()
     _commit_head(out_dir, {"head": head, "n_labels": n,
                            "folded_epochs": len(stale) + len(new_epochs)})
-    return {"head": head, "new_epochs": new_epochs, "n_labels": n}
+    pruned: list[int] = []
+    if retain_snapshots is not None:
+        store = os.path.join(out_dir, STORE_DIR)
+        snaps = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store)
+            if d.startswith("epoch_id=")
+        )
+        # prune AFTER the head commit: everything below the head is pure
+        # lineage — the next update reads only the head snapshot
+        for e in snaps[:-retain_snapshots]:
+            if e < head:
+                shutil.rmtree(os.path.join(store, f"epoch_id={e}"))
+                pruned.append(e)
+    return {"head": head, "new_epochs": new_epochs, "n_labels": n,
+            "pruned_snapshots": pruned}

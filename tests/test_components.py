@@ -222,3 +222,69 @@ def test_update_clusters_store_flow(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="wrong pairs root"):
         C.update_clusters(spark, other, out)
+
+
+def test_update_clusters_snapshot_retention(spark, tmp_path):
+    """retain_snapshots prunes full-label lineage snapshots below the head
+    AFTER the commit — labels stay identical to batch CC, the head snapshot
+    (the incremental state) is never pruned, and crash-retry still works
+    when all pre-head lineage is gone."""
+    from real_time_anomaly_detection_spark.operators.components import (
+        connected_components,
+    )
+    from real_time_anomaly_detection_spark.streaming import clusters as C
+
+    pairs_root = str(tmp_path / "pairs")
+    out = str(tmp_path / "cl")
+
+    def write_epoch(e, rows):
+        spark.createDataFrame(
+            [(a, b, 1.0) for a, b in rows],
+            "doc_a long, doc_b long, similarity double",
+        ).write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"epoch_id={e}")
+        )
+
+    def snaps():
+        store = os.path.join(out, C.STORE_DIR)
+        return sorted(int(d.split("=")[1]) for d in os.listdir(store)
+                      if d.startswith("epoch_id="))
+
+    write_epoch(0, [(1, 2)])
+    r = C.update_clusters(spark, pairs_root, out, retain_snapshots=2)
+    assert r["pruned_snapshots"] == []
+    write_epoch(1, [(3, 4)])
+    C.update_clusters(spark, pairs_root, out, retain_snapshots=2)
+    assert snaps() == [0, 1]
+    write_epoch(2, [(2, 3)])
+    r = C.update_clusters(spark, pairs_root, out, retain_snapshots=2)
+    assert r["pruned_snapshots"] == [0] and snaps() == [1, 2]
+
+    # keep-only-head: prune everything below on the next update
+    write_epoch(3, [(10, 11)])
+    r = C.update_clusters(spark, pairs_root, out, retain_snapshots=1)
+    assert snaps() == [3]
+
+    # crash between snapshot write and marker commit (the prune runs only
+    # AFTER the commit, so the previous head snapshot is still present in
+    # this window): revert the marker to simulate, then retry WITH
+    # retention — it recomputes the head, commits, and prunes
+    write_epoch(4, [(11, 12)])
+    C.update_clusters(spark, pairs_root, out)  # snap 4 written, snaps [3,4]
+    head4 = {r_.doc_id: r_.label
+             for r_ in C.head_labels(spark, out).collect()}
+    C._commit_head(out, {"head": 3, "n_labels": 6, "folded_epochs": 4})
+    C.update_clusters(spark, pairs_root, out, retain_snapshots=1)
+    assert snaps() == [4]
+    assert {r_.doc_id: r_.label
+            for r_ in C.head_labels(spark, out).collect()} == head4
+
+    # labels ≡ batch CC over all accumulated pairs despite pruning
+    batch = connected_components(
+        spark.read.parquet(pairs_root).select("doc_a", "doc_b"))
+    assert head4 == {r_.doc_id: r_.label for r_ in batch.collect()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retain_snapshots"):
+        C.update_clusters(spark, pairs_root, out, retain_snapshots=0)
