@@ -67,6 +67,43 @@ def synth_epoch(epoch: int, n_docs: int, n_dups: int, tokens_per_doc: int = 120)
     return rows
 
 
+def synth_epoch_audio(epoch: int, n_docs: int, n_dups: int,
+                      sr: int = 8000, dur_s: float = 0.5):
+    """Deterministic audio epoch batch: each unique clip mixes 8 tones at
+    per-clip-seeded random frequencies/amplitudes across the descriptor
+    range, so band-energy patterns are ~independent across clips and
+    fingerprint collisions are rare (a 3-tone grid variant measured pair
+    volume GROWING with the store — those clips were spectrally too close,
+    which measures corpus density, not store pruning). Plus `n_dups`
+    gain-changed re-uploads of epoch-0 clips under fresh clip_ids —
+    fingerprints are gain-exact, so each re-upload pairs with exactly one
+    stored clip and per-epoch candidate volume stays ~constant while the
+    store grows."""
+    import numpy as np
+
+    from real_time_anomaly_detection_spark.audio import codecs
+
+    t = np.arange(int(sr * dur_s)) / sr
+
+    def clip(k: int) -> np.ndarray:
+        rng = np.random.default_rng(0xA0D10 ^ k)
+        freqs = rng.uniform(90.0, 3700.0, size=8)
+        amps = rng.uniform(0.3, 1.0, size=8)
+        return sum(a * np.sin(2 * np.pi * f * t)
+                   for f, a in zip(freqs, amps))
+
+    rows = []
+    base = epoch * 1_000_000
+    for i in range(n_docs - n_dups):
+        rows.append((f"c{base + i:09d}",
+                     codecs.pcm16_encode(clip(base + i)), sr, "pcm16"))
+    for i in range(n_dups):
+        src = epoch * n_dups + i  # same disjoint-slice scheme as text
+        rows.append((f"c{base + n_docs + i:09d}",
+                     codecs.pcm16_encode(0.8 * clip(src)), sr, "pcm16"))
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
@@ -77,6 +114,9 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="after the run: one epoch on the aged store, "
                          "compact, one epoch on the compacted store")
+    ap.add_argument("--modality", choices=["text", "audio"], default="text",
+                    help="audio: clips batches through stream-dedup's audio "
+                         "modality (per-epoch decode+FFT, fingerprint store)")
     args = ap.parse_args()
 
     # The re-upload source index (epoch*n_dups+i) must stay inside epoch-0's
@@ -104,17 +144,26 @@ def main() -> None:
     compaction = None
     total_pairs = 0
     try:
-        for epoch in range(args.epochs):
-            rows = synth_epoch(epoch, args.docs_per_epoch, args.dups_per_epoch)
-            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-                1
-            ).write.mode("append").parquet(in_dir)
+        if args.modality == "audio":
+            synth_fn, schema = synth_epoch_audio, (
+                "clip_id string, bytes binary, sr_hz long, codec string")
+        else:
+            synth_fn, schema = synth_epoch, "doc_id long, text string"
 
+        def write_and_drain(epoch: int) -> float:
+            rows = synth_fn(epoch, args.docs_per_epoch, args.dups_per_epoch)
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append").parquet(in_dir)
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.perf_counter()
-            q = stream_dedup(spark, in_dir, ckpt, out_dir)
+            q = stream_dedup(spark, in_dir, ckpt, out_dir,
+                             modality=args.modality)
             q.awaitTermination()
+            return t0
+
+        for epoch in range(args.epochs):
+            t0 = write_and_drain(epoch)
             walls.append(round(time.perf_counter() - t0, 2))
             n_pairs = spark.read.parquet(os.path.join(out_dir, "pairs")).count()
             pair_counts.append(n_pairs - total_pairs)
@@ -136,15 +185,7 @@ def main() -> None:
             )
 
             def one_epoch(epoch):
-                rows = synth_epoch(epoch, args.docs_per_epoch, args.dups_per_epoch)
-                spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-                    1
-                ).write.mode("append").parquet(in_dir)
-                spark.catalog.clearCache()
-                spark._jvm.System.gc()
-                t0 = time.perf_counter()
-                q = stream_dedup(spark, in_dir, ckpt, out_dir)
-                q.awaitTermination()
+                t0 = write_and_drain(epoch)
                 return round(time.perf_counter() - t0, 2)
 
             aged_wall = one_epoch(args.epochs)
