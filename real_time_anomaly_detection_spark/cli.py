@@ -480,6 +480,11 @@ def main(argv: list[str] | None = None) -> None:
         ).write.mode("overwrite").parquet(
             os.path.join(args.out, "containments")
         )
+        pairs = spark.read.parquet(os.path.join(args.out, "containments"))
+        # terminal mapping: each contained clip -> the TOP of its chain
+        ACT.containment_canonical(pairs).write.mode("overwrite").parquet(
+            os.path.join(args.out, "canonical")
+        )
         print(args.out)
         return
 

@@ -63,7 +63,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -322,4 +322,62 @@ def containment_pairs(
         "matched_frames",
         "inner_frames",
         (F.col("matched_frames") / F.col("inner_frames")).alias("coverage"),
+    )
+
+
+def containment_canonical(pairs: DataFrame, max_iters: int = 16) -> DataFrame:
+    """(clip_id, canonical) for every clip that is contained in something:
+    the TOP of its containment chain — the clip a dedup sink should keep
+    when excerpts nest (a 30s cut of a 10min recording that was itself
+    re-uploaded as a 1min excerpt resolves to the 10min original, not the
+    1min middleman). The terminal op of the containment path, mirroring
+    clusters/survivors for the near-dup paths.
+
+    Each inner picks its best outer (highest coverage, then most matched
+    frames, then lexically smallest outer — fully deterministic), giving a
+    parent forest; chains collapse by pointer jumping (parent <- parent's
+    parent), so rounds are O(log depth), not O(depth). The pair relation
+    is acyclic by construction — inner_frames < outer_frames, with the
+    equal-length whole-dup case emitted only as (lexically smaller ->
+    larger) — so jumping always terminates; ``max_iters`` (2^16-deep
+    chains) is a guard, and exceeding it raises rather than returning a
+    half-collapsed mapping. Each round is localCheckpoint-ed: the
+    iterative self-join would otherwise nest the logical plan per round
+    (the components.py lesson).
+    """
+    w = Window.partitionBy("inner").orderBy(
+        F.col("coverage").desc(), F.col("matched_frames").desc(),
+        F.col("outer").asc(),
+    )
+    parent = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("inner").alias("node"), F.col("outer").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+    cur = parent
+    for _ in range(max_iters):
+        hop = cur.alias("a").join(
+            cur.select(
+                F.col("node").alias("p_node"), F.col("parent").alias("p_parent")
+            ),
+            F.col("a.parent") == F.col("p_node"),
+            "left",
+        )
+        nxt = hop.select(
+            F.col("a.node").alias("node"),
+            F.coalesce("p_parent", F.col("a.parent")).alias("parent"),
+            F.col("p_node").isNotNull().alias("_hopped"),
+        ).localCheckpoint(eager=True)
+        n_hopped = nxt.filter("_hopped").count()
+        cur = nxt.select("node", "parent")
+        if n_hopped == 0:
+            return cur.select(
+                F.col("node").alias("clip_id"),
+                F.col("parent").alias("canonical"),
+            )
+    raise RuntimeError(
+        f"containment chains did not collapse in {max_iters} pointer-jump "
+        "rounds — a cycle in the pair relation (corrupt input?) or a chain "
+        f"deeper than 2^{max_iters}"
     )

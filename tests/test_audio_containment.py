@@ -210,6 +210,57 @@ def test_e2e_trimmed_excerpts_found(spark, planted_containment):
     assert not cross, cross
 
 
+def _pairs_df(spark, rows):
+    """rows: (inner, outer, coverage, matched) — the columns canonical uses."""
+    return spark.createDataFrame(
+        [(i, o, 0, m, int(m / c) if c else 0, c) for i, o, c, m in rows],
+        "inner string, outer string, offset_frames int, matched_frames int, "
+        "inner_frames int, coverage double",
+    )
+
+
+def test_canonical_collapses_chains(spark):
+    """a ⊂ b ⊂ c ⊂ d: every member of the chain resolves to the top (d),
+    not its immediate container — and a node that is only ever an outer
+    (d) does not appear as a clip_id row."""
+    pairs = _pairs_df(spark, [
+        ("a", "b", 0.9, 18), ("b", "c", 0.8, 40), ("c", "d", 0.7, 70),
+    ])
+    from real_time_anomaly_detection_spark.operators.audio_containment import (
+        containment_canonical,
+    )
+    got = {r.clip_id: r.canonical for r in containment_canonical(pairs).collect()}
+    assert got == {"a": "d", "b": "d", "c": "d"}
+
+
+def test_canonical_best_outer_choice_and_ties(spark):
+    """An inner contained in several outers picks the highest coverage,
+    then most matched frames, then the lexically smallest outer."""
+    from real_time_anomaly_detection_spark.operators.audio_containment import (
+        containment_canonical,
+    )
+    pairs = _pairs_df(spark, [
+        ("x", "hi_cov", 0.95, 19), ("x", "lo_cov", 0.7, 14),
+        ("y", "m_many", 0.8, 20), ("y", "m_few", 0.8, 10),
+        ("z", "tie_b", 0.8, 16), ("z", "tie_a", 0.8, 16),
+    ])
+    got = {r.clip_id: r.canonical for r in containment_canonical(pairs).collect()}
+    assert got == {"x": "hi_cov", "y": "m_many", "z": "tie_a"}
+
+
+def test_canonical_over_e2e_pairs(spark, planted_containment):
+    """Over the planted-excerpt corpus: every inner_NN maps to its own
+    outer_NN (chains of depth 1 — the outers are roots)."""
+    from real_time_anomaly_detection_spark.operators.audio_containment import (
+        containment_canonical,
+    )
+    clips, expected = planted_containment
+    pairs = containment_pairs(frame_fingerprints(clips))
+    got = {r.clip_id: r.canonical for r in containment_canonical(pairs).collect()}
+    for inner in expected:
+        assert got[inner] == "outer_" + inner.split("_")[1]
+
+
 def test_e2e_payload_never_shuffled(spark, planted_containment):
     clips, _ = planted_containment
     plan = containment_pairs(frame_fingerprints(clips))._jdf.queryExecution(

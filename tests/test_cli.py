@@ -198,6 +198,9 @@ def test_audio_containment_cli(spark, tmp_path):
            for r in spark.read.parquet(os.path.join(out, "containments")).collect()}
     assert {(f"inner_{i}", f"outer_{i}") for i in range(4)} <= got
     assert not {(a, b) for a, b in got if a.split("_")[1] != b.split("_")[1]}
+    canon = {r.clip_id: r.canonical
+             for r in spark.read.parquet(os.path.join(out, "canonical")).collect()}
+    assert all(canon[f"inner_{i}"] == f"outer_{i}" for i in range(4))
 
 
 def test_audio_neardup_cli(spark, tmp_path):
