@@ -33,10 +33,23 @@ per-frame subfingerprint sequence is the production extension for
 find-snippet-inside-clip matching.
 
 Signature = 128 bits stored as 8 16-bit band ints. Pairing mirrors q40:
-equi-join on (band index, band value) — by pigeonhole EVERY pair within
-Hamming distance ``_AF_HAM_MAX`` = 7 of 128 shares at least one exact
-band — then verify ``sum(bit_count(xor))`` <= threshold. Exact recall at
-the design threshold, never all-pairs.
+equi-join on (band index, band value, quantized duration) — by pigeonhole
+EVERY pair within Hamming distance ``_AF_HAM_MAX`` = 7 of 128 shares at
+least one exact band — then verify ``sum(bit_count(xor))`` <= threshold.
+Exact recall at the design threshold, never all-pairs.
+
+The DURATION key is the 16-bit-bucket scale valve: a 65,536-value band
+space saturates around 10^9 clips (every (band, value) bucket passes any
+practical cap, and the hot-bucket guard would drop everything — zero
+recall, the failure mode disguised as safety). Whole-clip duplicates
+preserve duration EXACTLY (gain change, ulaw/alaw re-encode, and
+resampling all keep seconds; a clip whose length changed is a trimmed
+variant — containment's job, and invisible to this clip-global
+descriptor anyway), so quantized seconds multiply the bucket space by
+the corpus's duration diversity (~10^3 for speech) for free. The probe
+side explodes into the three adjacent duration buckets, so a true dup
+pair is never lost to a quantization boundary: recall is exact for
+duration deltas < ``duration_band_s``.
 
 Scale shape: fingerprints ride ONE mapInPandas scan of the payload
 (`bytes` never joined or shuffled, the audio_features.py pattern); the
@@ -82,6 +95,7 @@ FINGERPRINT_SCHEMA = T.StructType(
         T.StructField("part_id", T.IntegerType()),
         T.StructField("clip_id", T.StringType()),
         T.StructField("bands", T.ArrayType(T.IntegerType())),
+        T.StructField("dur_s", T.DoubleType()),
         T.StructField("fp_ok", T.BooleanType()),
         T.StructField("fp_error", T.StringType()),
     ]
@@ -127,7 +141,7 @@ def clip_fingerprint(x: np.ndarray, sr_hz: int) -> list[int] | None:
 
 
 def fingerprints(clips: DataFrame) -> DataFrame:
-    """(part_id, clip_id, bands[8], fp_ok, fp_error) — one payload scan,
+    """(part_id, clip_id, bands[8], dur_s, fp_ok, fp_error) — one payload scan,
     decode failures recorded per row (T7 semantics), bytes never leave the
     map stage."""
     projected = clips.select("part_id", "clip_id", "bytes", "sr_hz", "codec")
@@ -148,13 +162,16 @@ def fingerprints(clips: DataFrame) -> DataFrame:
                     sr = int(sr_arr[k]) if not pd.isna(sr_arr[k]) else 16000
                     fp = clip_fingerprint(x, sr)
                     if fp is None:
-                        rows.append({**base, "bands": None, "fp_ok": False,
+                        rows.append({**base, "bands": None, "dur_s": None,
+                                     "fp_ok": False,
                                      "fp_error": "too_short_or_silent"})
                     else:
-                        rows.append({**base, "bands": fp, "fp_ok": True,
-                                     "fp_error": None})
+                        rows.append({**base, "bands": fp,
+                                     "dur_s": float(x.shape[0]) / sr,
+                                     "fp_ok": True, "fp_error": None})
                 except Exception as exc:  # noqa: BLE001 — record, don't abort
-                    rows.append({**base, "bands": None, "fp_ok": False,
+                    rows.append({**base, "bands": None, "dur_s": None,
+                                 "fp_ok": False,
                                  "fp_error": f"{type(exc).__name__}: {exc}"[:200]})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FINGERPRINT_SCHEMA.fields]
@@ -167,18 +184,36 @@ def neardup_pairs(
     fps: DataFrame,
     max_hamming: int = _AF_HAM_MAX,
     bucket_cap: int | None = _AF_BUCKET_CAP,
+    duration_band_s: float | None = 2.0,
 ) -> DataFrame:
     """(clip_a, clip_b, hamming) for fingerprint pairs within
     ``max_hamming`` of 128 bits. Banded equi-join (exact recall for
     max_hamming <= 7 by pigeonhole over the 8 bands); the Hamming verify
     runs AT the join output so only passing pairs reach the distinct.
 
-    ``bucket_cap`` drops (band, value) buckets larger than the cap — the
-    q29/q43 degenerate-corpus guard. The over-cap key set is tiny by
-    construction, so it is broadcast as an anti-join; pairs sharing ONLY
-    a capped band are missed (documented recall trade, same as q43's
-    stop-fingerprint cap)."""
-    fp = fps.filter(F.col("fp_ok")).select("clip_id", "bands")
+    ``duration_band_s`` (the scale valve — module docstring): the join
+    key carries floor(dur_s / duration_band_s), with the probe side
+    exploded into the three adjacent buckets so a boundary-straddling
+    pair is never missed — recall stays exact for pairs whose durations
+    differ by < duration_band_s, which is EVERY whole-clip duplicate
+    (re-encode/gain/resample preserve seconds). Without it, the 16-bit
+    band space saturates around 10^9 clips and the hot-bucket cap turns
+    into a zero-recall guillotine. None disables (pre-r6 behavior, also
+    the fallback for stored fingerprints lacking dur_s).
+
+    ``bucket_cap`` drops (band, value, duration-bucket) groups larger
+    than the cap — the q29/q43 degenerate-corpus guard. The over-cap key
+    set is tiny by construction, so it is broadcast as an anti-join;
+    pairs sharing ONLY capped buckets are missed (documented recall
+    trade, same as q43's stop-fingerprint cap)."""
+    use_dur = duration_band_s is not None and "dur_s" in fps.columns
+    dq = (
+        F.floor(F.col("dur_s") / F.lit(float(duration_band_s))).cast("long")
+        if use_dur else F.lit(0).cast("long")
+    )
+    fp = fps.filter(F.col("fp_ok")).select(
+        "clip_id", "bands", dq.alias("dq")
+    )
     # multi-referenced by the self-join below (q40 pattern)
     fp = fp.persist()
     chunks = F.array(
@@ -190,20 +225,32 @@ def neardup_pairs(
             for b in range(_AF_CHUNKS)
         ]
     )
-    x = fp.select("clip_id", "bands", F.explode(chunks).alias("bb")).select(
+    x = fp.select(
+        "clip_id", "bands", "dq", F.explode(chunks).alias("bb")
+    ).select(
         "clip_id",
         "bands",
+        "dq",
         F.col("bb.band").alias("band"),
         F.col("bb.chunk").alias("chunk"),
     )
     if bucket_cap is not None:
         hot = (
-            x.groupBy("band", "chunk")
+            x.groupBy("band", "chunk", "dq")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > bucket_cap)
-            .select("band", "chunk")
+            .select("band", "chunk", "dq")
         )
-        x = x.join(F.broadcast(hot), ["band", "chunk"], "left_anti")
+        x = x.join(F.broadcast(hot), ["band", "chunk", "dq"], "left_anti")
+    if use_dur:
+        # probe side covers the adjacent duration buckets; the build side
+        # stays exact, so each boundary-straddling pair matches exactly once
+        probe = x.withColumn(
+            "dq", F.explode(F.array(F.col("dq") - 1, F.col("dq"),
+                                    F.col("dq") + 1))
+        )
+    else:
+        probe = x
     ham = F.aggregate(
         F.zip_with(
             F.col("a.bands"),
@@ -215,7 +262,7 @@ def neardup_pairs(
     )
     return (
         x.alias("a")
-        .join(x.alias("b"), ["band", "chunk"])
+        .join(probe.alias("b"), ["band", "chunk", "dq"])
         .filter((F.col("a.clip_id") < F.col("b.clip_id")) & (ham <= max_hamming))
         .select(
             F.col("a.clip_id").alias("clip_a"),

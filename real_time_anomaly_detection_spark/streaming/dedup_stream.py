@@ -162,7 +162,20 @@ def _audio_bands(pay: DataFrame, n_bands: int = 8,
     'payload' in _MODALITIES) so the expensive decode scan runs once per
     epoch. Geometry is FIXED by the fingerprint definition (8 chunks x 16
     bits, `audio_fingerprint._AF_CHUNKS`); the arguments exist only to
-    satisfy the modality contract and are validated in stream_dedup."""
+    satisfy the modality contract and are validated in stream_dedup.
+
+    Scale envelope: unlike the BATCH pairing (audio_fingerprint.
+    neardup_pairs), the store join carries no quantized-duration key —
+    the store layout would need probe-side bucket adjacency that the
+    shared (band, bucket) machinery doesn't express — so the 65,536-value
+    band space is the bucket diversity, saturating around 10^9 stored
+    clips. At that scale shard ingest by duration band (route clips to
+    per-duration-range streams/stores: whole-clip dups always share
+    duration, so sharding is recall-lossless — the same invariant the
+    batch join keys on). Consequence for parity: streamed pairs can
+    include cross-duration ACCIDENTAL hamming<=7 collisions the
+    duration-keyed batch default excludes; true duplicates are identical
+    in both."""
     chunks = F.array(
         *[
             F.struct(

@@ -181,3 +181,74 @@ def test_e2e_payload_never_shuffled(spark, planted_clips):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes" not in line, line
+
+
+def _fps_dur(spark, rows):
+    """rows: (clip_id, bands, dur_s) — fingerprint rows with duration."""
+    return spark.createDataFrame(
+        [(0, cid, b, d, True, None) for cid, b, d in rows],
+        "part_id int, clip_id string, bands array<int>, dur_s double, "
+        "fp_ok boolean, fp_error string",
+    )
+
+
+def test_duration_key_blocks_cross_duration_collisions(spark):
+    """The scale valve: identical fingerprints at far-apart durations are
+    NOT candidates under the duration key (a whole-clip dup always shares
+    duration), but duration_band_s=None recovers the keyless behavior."""
+    rng = np.random.default_rng(11)
+    bands = [int(v) for v in rng.integers(0, 1 << 16, size=_AF_CHUNKS)]
+    df = _fps_dur(spark, [("short", bands, 1.0), ("long", bands, 7.0)])
+    assert neardup_pairs(df).count() == 0
+    assert neardup_pairs(df, duration_band_s=None).count() == 1
+
+
+def test_duration_key_boundary_straddle_found(spark):
+    """A pair straddling a quantization boundary (1.99s vs 2.01s at a 2s
+    band) is still found — the probe side covers adjacent buckets."""
+    rng = np.random.default_rng(12)
+    bands = [int(v) for v in rng.integers(0, 1 << 16, size=_AF_CHUNKS)]
+    df = _fps_dur(spark, [("a", bands, 1.99), ("b", bands, 2.01)])
+    got = {(r.clip_a, r.clip_b): r.hamming for r in neardup_pairs(df).collect()}
+    assert got == {("a", "b"): 0}
+
+
+def test_duration_key_cross_sample_rate_pair(spark):
+    """The same content at 8 kHz and 16 kHz shares dur_s exactly (seconds,
+    not samples), so the duration key never splits a cross-rate dup."""
+    from real_time_anomaly_detection_spark.audio import codecs
+
+    rows = []
+    for sr, cid in ((8000, "lo"), (16000, "hi")):
+        t = np.arange(2 * sr) / sr
+        x = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1300 * t)
+        rows.append((0, cid, codecs.pcm16_encode(x), sr, "pcm16"))
+    clips = spark.createDataFrame(
+        rows, "part_id int, clip_id string, bytes binary, sr_hz long, codec string"
+    )
+    fps = fingerprints(clips)
+    durs = {r.clip_id: r.dur_s for r in fps.collect()}
+    assert durs == {"lo": 2.0, "hi": 2.0}
+    assert neardup_pairs(fps).count() == 1
+
+
+def test_bucket_cap_counts_per_duration_bucket(spark):
+    """The hot-bucket cap operates on (band, value, duration-bucket): one
+    shared chunk value spread across many durations is many small buckets
+    (nothing capped), while the same value at ONE duration is capped."""
+    rng = np.random.default_rng(13)
+
+    def mk(i, dur):
+        bands = [7] + [int(v) for v in rng.integers(0, 1 << 16, size=7)]
+        return (f"c{i:02d}", bands, dur)
+
+    same_dur = _fps_dur(spark, [mk(i, 5.0) for i in range(40)])
+    spread = _fps_dur(spark, [mk(100 + i, 4.0 * i) for i in range(40)])
+    assert neardup_pairs(same_dur, max_hamming=127, bucket_cap=10).count() == 0
+    # spread durations: every (7-chunk, dq) bucket has ONE member; nothing
+    # capped, and nothing pairs either (different dq AND random other chunks)
+    assert neardup_pairs(spread, max_hamming=127, bucket_cap=10).count() == 0
+    assert (
+        neardup_pairs(same_dur, max_hamming=127, bucket_cap=None).count()
+        == 40 * 39 // 2
+    )
