@@ -40,6 +40,17 @@ scan (the audio_features.py / audio_fingerprint.py pattern) and what
 shuffles is ~2 x n_frames x 16 bytes per clip. The vote is one
 partial-aggregatable groupBy. No all-pairs stage exists at any scale.
 
+Scale envelope (stated, not hidden): the seed join's bucket space is
+2 x 65,536 16-bit band values over FRAMES (tens per clip), so it
+saturates around 10^7-10^8 clips per run — past that, typical buckets
+exceed any practical ``value_cap`` and the guard costs recall. The
+whole-clip join's duration-key valve (audio_fingerprint.py) cannot apply
+here: a trimmed excerpt's duration DIFFERS from its source's by
+construction. At larger scale, shard the corpus by a dup-preserving
+dimension (source channel, upload window — trimmed re-uploads cluster in
+time) and run containment per shard; cross-shard trims are the accepted
+miss, exactly the trade a web-scale near-dup pass makes when it shards.
+
 Caveats (documented trade, mirrored in tests): frame alignment — a trim
 at an arbitrary sample offset shifts the inner clip's frame grid by up
 to hop/2 against the outer's, perturbing each descriptor. The dense hop
