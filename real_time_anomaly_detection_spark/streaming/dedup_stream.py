@@ -80,6 +80,10 @@ CLIPS_SCHEMA = "clip_id string, bytes binary, sr_hz long, codec string"
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.45
 STORE_BUCKETS = 64  # bump at real scale so small batches prune hard
+AUDIO_DURATION_BAND_S = 2.0  # same valve as audio_fingerprint.neardup_pairs
+# chunk-vs-duration fusion stride: dq = dur/2s reaches 1e6 only past a
+# 23-DAY clip — any real dq sits far below, so +-1 stays within one chunk
+_AUDIO_DQ_STRIDE = 1_000_000
 
 
 # ---------------------------------------------------------------- modalities
@@ -137,12 +141,14 @@ def _cosine(ca: str, cb: str):
 
 
 def _audio_prepare(batch: DataFrame) -> DataFrame:
-    """(doc_id, payload) with payload = the whole-clip 128-bit fingerprint
-    as 8 x 16-bit chunks (operators/audio_fingerprint.py) — ONE mapInPandas
-    decode+FFT pass; `bytes` never leaves the map stage. Undecodable /
-    too-short clips are DROPPED here: an item with no fingerprint cannot be
-    deduplicated, and decode-error REPORTING is the validation engine's job
-    (audio_checks), not the dedup stream's."""
+    """(doc_id, payload, dur_s) with payload = the whole-clip 128-bit
+    fingerprint as 8 x 16-bit chunks (operators/audio_fingerprint.py) —
+    ONE mapInPandas decode+FFT pass; `bytes` never leaves the map stage.
+    dur_s rides along for the duration-keyed band buckets (and lands in
+    the payload store as lineage). Undecodable / too-short clips are
+    DROPPED here: an item with no fingerprint cannot be deduplicated, and
+    decode-error REPORTING is the validation engine's job (audio_checks),
+    not the dedup stream's."""
     fps = _afp.fingerprints(
         batch.select(
             F.lit(0).alias("part_id"),
@@ -151,42 +157,68 @@ def _audio_prepare(batch: DataFrame) -> DataFrame:
         )
     )
     return fps.filter(F.col("fp_ok")).select(
-        F.col("clip_id").alias("doc_id"), F.col("bands").alias("payload")
+        F.col("clip_id").alias("doc_id"), F.col("bands").alias("payload"),
+        "dur_s",
     )
 
 
 def _audio_bands(pay: DataFrame, n_bands: int = 8,
-                 bits_per_band: int = 16) -> DataFrame:
+                 bits_per_band: int = 16,
+                 duration_band_s: float = AUDIO_DURATION_BAND_S) -> DataFrame:
     """(doc_id, band, bucket) from the PREPARED payload relation — the
     audio modality's bands derive from prepare()'s output (bands_source =
     'payload' in _MODALITIES) so the expensive decode scan runs once per
-    epoch. Geometry is FIXED by the fingerprint definition (8 chunks x 16
-    bits, `audio_fingerprint._AF_CHUNKS`); the arguments exist only to
-    satisfy the modality contract and are validated in stream_dedup.
+    epoch. Chunk geometry is FIXED by the fingerprint definition (8
+    chunks x 16 bits, `audio_fingerprint._AF_CHUNKS`); the n_bands/
+    bits_per_band arguments exist only to satisfy the modality contract
+    and are validated in stream_dedup.
 
-    Scale envelope: unlike the BATCH pairing (audio_fingerprint.
-    neardup_pairs), the store join carries no quantized-duration key —
-    the store layout would need probe-side bucket adjacency that the
-    shared (band, bucket) machinery doesn't express — so the 65,536-value
-    band space is the bucket diversity, saturating around 10^9 stored
-    clips. At that scale shard ingest by duration band (route clips to
-    per-duration-range streams/stores: whole-clip dups always share
-    duration, so sharding is recall-lossless — the same invariant the
-    batch join keys on). Consequence for parity: streamed pairs can
-    include cross-duration ACCIDENTAL hamming<=7 collisions the
-    duration-keyed batch default excludes; true duplicates are identical
-    in both."""
+    The bucket value FUSES the 16-bit chunk with the quantized duration:
+    bucket = chunk * _AUDIO_DQ_STRIDE + floor(dur_s / duration_band_s) —
+    the same scale valve as the batch join (audio_fingerprint.py): a bare
+    65,536-value band space saturates around 10^9 stored clips, while
+    whole-clip duplicates preserve seconds exactly, so duration multiplies
+    bucket diversity at zero recall cost. Adjacent duration buckets stay
+    ADJACENT INTEGERS under the fusion (the stride dwarfs any sane dq), so
+    the probe side covers quantization boundaries by exploding bucket+-1
+    (`_audio_probe_expand`) — pairs whose durations differ by <
+    duration_band_s are never lost, matching the batch join's exact
+    single-sided +-1 window."""
+    dq = F.greatest(
+        F.floor(F.col("dur_s") / F.lit(float(duration_band_s))), F.lit(0)
+    ).cast("long")
     chunks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.col("payload").getItem(b).alias("bucket"),
+                (
+                    F.col("payload").getItem(b).cast("long")
+                    * F.lit(_AUDIO_DQ_STRIDE)
+                    + dq
+                ).alias("bucket"),
             )
             for b in range(_afp._AF_CHUNKS)
         ]
     )
     return pay.select("doc_id", F.explode(chunks).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _audio_probe_expand(bands: DataFrame) -> DataFrame:
+    """The probe-side duration-adjacency explode: each band row also probes
+    the two neighboring duration buckets (bucket +- 1 under the fused
+    encoding). Build/store rows stay exact, so the admitted window is
+    |dq delta| <= 1 — identical to the batch join's. A bucket-1 underflow
+    at dq=0 probes the previous chunk's impossible max-dq region (stride
+    >> any real dq), which matches nothing."""
+    return bands.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ),
     )
 
 
@@ -210,20 +242,24 @@ def _audio_sim(ca: str, cb: str):
 AUDIO_SIM_THRESHOLD = 1.0 - (_afp._AF_HAM_MAX + 0.5) / _afp._AF_BITS
 
 
-# (schema, id_col, prepare, bands_fn, bands_source, sim_fn,
+
+# (schema, id_col, prepare, bands_fn, bands_source, probe_expand, sim_fn,
 #  default_threshold, per_row_prob, rows-knob name) — per_row_prob feeds
 # the threshold->banding derivation (identity for Jaccard, the hyperplane
 # map for cosine; None+None = fixed geometry, audio). bands_source says
 # what bands_fn consumes: the raw batch ("raw") or prepare()'s output
 # ("payload" — used when prepare is the expensive scan to run once).
+# probe_expand (or None) widens the PROBE side of every candidate join
+# (audio: duration-bucket adjacency) while store/build rows stay exact.
 _MODALITIES = {
     "text": (DOCS_SCHEMA, "doc_id", _text_prepare, _text_bands, "raw",
-             _jaccard, JACCARD_THRESHOLD, None, "rows_per_band"),
+             None, _jaccard, JACCARD_THRESHOLD, None, "rows_per_band"),
     "embedding": (EMB_SCHEMA, "doc_id", _emb_prepare, _emb_bands, "raw",
-                  _cosine, COSINE_THRESHOLD, _cosine_row_prob,
+                  None, _cosine, COSINE_THRESHOLD, _cosine_row_prob,
                   "planes_per_band"),
     "audio": (CLIPS_SCHEMA, "clip_id", _audio_prepare, _audio_bands,
-              "payload", _audio_sim, AUDIO_SIM_THRESHOLD, None, None),
+              "payload", _audio_probe_expand, _audio_sim,
+              AUDIO_SIM_THRESHOLD, None, None),
 }
 
 
@@ -730,8 +766,8 @@ def stream_dedup(
     and validated on every later run — a mismatched re-invocation raises
     instead of silently dropping cross-batch pairs. Returns the
     StreamingQuery."""
-    (schema, id_col, prepare, bands_fn, bands_source, sim_fn, default_thr,
-     row_prob, rows_key) = _MODALITIES[modality]
+    (schema, id_col, prepare, bands_fn, bands_source, probe_expand, sim_fn,
+     default_thr, row_prob, rows_key) = _MODALITIES[modality]
     threshold = default_thr if threshold is None else threshold
     # Resolve the band geometry ONCE, before anything touches the store:
     # explicit band_kwargs win; otherwise it is derived from the threshold
@@ -758,7 +794,8 @@ def stream_dedup(
                 f"threshold {threshold} admits hamming {h_max} > {nb - 1}, "
                 f"past the {nb}-chunk pigeonhole recall guarantee; lowest "
                 f"exact floor is {1.0 - (nb - 1) / _afp._AF_BITS}")
-        banding = {"n_bands": nb, "bits_per_band": rows}
+        banding = {"n_bands": nb, "bits_per_band": rows,
+                   "duration_band_s": AUDIO_DURATION_BAND_S}
     else:
         unknown = set(kw) - {"n_bands", rows_key}
         if unknown:
@@ -828,10 +865,25 @@ def stream_dedup(
         else:
             new_bands = bands_of(batch_df).persist()
         cached.append(new_bands)
+        # probe rows: the modality may widen the probe side (audio:
+        # duration-bucket adjacency) — store/build rows stay exact, so the
+        # admitted window matches the batch join's single-sided +-1
+        if probe_expand is not None:
+            probe_bands = probe_expand(new_bands).persist()
+            cached.append(probe_bands)
+        else:
+            probe_bands = new_bands
 
         # within-batch pairs: the batch helper verbatim (bucketed self-join,
-        # ordered doc_a < doc_b, probe repartition + cap/salt knobs)
-        within = _lsh_candidate_pairs(new_bands, max_bucket_size, salt)
+        # ordered doc_a < doc_b, probe repartition + cap/salt knobs). With a
+        # probe expansion, the self-join runs exact-vs-expanded through the
+        # two-sided helper instead (both orientations appear; the unordered
+        # pair collapse below dedupes them).
+        if probe_expand is not None:
+            within = _cross_candidates(new_bands, probe_bands,
+                                       max_bucket_size, salt)
+        else:
+            within = _lsh_candidate_pairs(new_bands, max_bucket_size, salt)
         pairs = _verify(within, new_pay, new_pay, sim_fn, threshold,
                         size_prefilter=(modality == "text"))
 
@@ -847,7 +899,7 @@ def stream_dedup(
             # partition IN-filter => file-level pruning, store-size-independent
             touched = [
                 r[0]
-                for r in new_bands.select(_sbucket(store_buckets).alias("sb"))
+                for r in probe_bands.select(_sbucket(store_buckets).alias("sb"))
                 .distinct()
                 .collect()
             ]
@@ -859,7 +911,7 @@ def stream_dedup(
                 .select("doc_id", "band", "bucket")
             )
             cross = _cross_candidates(
-                old_bands, new_bands, max_bucket_size, salt
+                old_bands, probe_bands, max_bucket_size, salt
             ).persist()
             cached.append(cross)
             # prune the payload read to the candidate pairs' pbuckets; the

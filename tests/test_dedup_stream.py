@@ -572,6 +572,49 @@ def test_dedup_apply_over_streamed_pairs(spark, tmp_path):
     assert survivors == [1, 3, 12]
 
 
+def test_audio_stream_duration_valve(spark, tmp_path):
+    """The stream's fused duration buckets match the batch join's valve:
+    a stationary mixture at 1s vs 7s has an IDENTICAL fingerprint (band
+    fractions are duration-invariant) but must NOT pair — far-apart
+    durations are never whole-clip dups — while 1.9s vs 2.1s (adjacent
+    duration buckets at the 2s band) MUST pair via the probe-side +-1
+    explode, including across batches through the store. The marker pins
+    duration_band_s."""
+    import json
+
+    import numpy as np
+
+    from real_time_anomaly_detection_spark.audio import codecs
+
+    sr = 16000
+
+    def mix(dur_s):
+        t = np.arange(int(dur_s * sr)) / sr
+        return np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1300 * t)
+
+    b1 = [
+        ("s1", codecs.pcm16_encode(mix(1.0)), sr, "pcm16"),
+        ("e19", codecs.pcm16_encode(mix(1.9)), sr, "pcm16"),
+    ]
+    b2 = [
+        ("s7", codecs.pcm16_encode(mix(7.0)), sr, "pcm16"),       # same fp as s1
+        ("e21", codecs.pcm16_encode(0.5 * mix(2.1)), sr, "pcm16"),  # boundary dup
+    ]
+    src = str(tmp_path / "dv_src")
+    out = str(tmp_path / "dv_out")
+    ckpt = str(tmp_path / "dv_ckpt")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, dedup_stream.CLIPS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        dedup_stream.stream_dedup(spark, src, ckpt, out,
+                                  modality="audio").awaitTermination()
+    got = _norm(spark.read.parquet(os.path.join(out, "pairs")).toPandas())
+    assert frozenset(("e19", "e21")) in got   # cross-batch, adjacent buckets
+    assert not any("s1" in p and "s7" in p for p in got)  # valve blocks
+    meta = json.load(open(os.path.join(out, "store_meta.json")))
+    assert meta["banding"]["duration_band_s"] == 2.0
+
+
 def test_dedup_apply_over_audio_stream_pairs(spark, tmp_path):
     """The audio stream's pairs root (string clip_ids) composes with
     dedup-apply via --id-col: the clips corpus is deduplicated to one
