@@ -3068,7 +3068,9 @@ def q50_modality_reconciliation(spark, sf_dir,
                                 emb_n_bands: int | None = None,
                                 planes_per_band: int | None = None,
                                 text_threshold: float = 0.5,
-                                emb_threshold: float = 0.45):
+                                emb_threshold: float = 0.45,
+                                text_clusters=None,
+                                emb_clusters=None):
     """Cross-modality reconciliation (VERDICT r5 #7): the curation decision
     a real pipeline makes when the TEXT near-dup clusters (q47) and the
     EMBEDDING near-dup clusters (q49) disagree about a document. One row
@@ -3084,18 +3086,36 @@ def q50_modality_reconciliation(spark, sf_dir,
     Both sides are near-dup-doc-scale (metadata relative to the corpus), so
     the join is a small shuffle regardless of corpus size; absent-side
     cluster ids are encoded as -1 (keepers as false) to keep the schema
-    null-free for byte-stable cross-engine comparison."""
-    t = q47_neardup_clusters(
-        spark, sf_dir, n_bands=text_n_bands, rows_per_band=rows_per_band,
-        threshold=text_threshold,
+    null-free for byte-stable cross-engine comparison.
+
+    ``text_clusters`` / ``emb_clusters``: optional PRECOMPUTED cluster
+    relations (q47's (doc_id, cluster_id, is_keeper) / q49's (vec_id,
+    cluster_id, is_keeper) schemas). A production pipeline materializes the
+    per-modality labels once (`cluster-update` checkpoints them every
+    epoch) and reconciliation joins those tables — recomputing both LSH →
+    verify → contraction stacks inside every reconciliation report would
+    repeat the pipeline's dominant cost. When given, the banding/threshold
+    kwargs for that modality are ignored (they configured the upstream
+    materialization). Defaults recompute, matching the static oracle."""
+    t = (
+        text_clusters
+        if text_clusters is not None
+        else q47_neardup_clusters(
+            spark, sf_dir, n_bands=text_n_bands, rows_per_band=rows_per_band,
+            threshold=text_threshold,
+        )
     ).select(
         "doc_id",
         F.col("cluster_id").alias("_tc"),
         F.col("is_keeper").alias("_tk"),
     )
-    e = q49_embedding_clusters(
-        spark, sf_dir, n_bands=emb_n_bands, planes_per_band=planes_per_band,
-        threshold=emb_threshold,
+    e = (
+        emb_clusters
+        if emb_clusters is not None
+        else q49_embedding_clusters(
+            spark, sf_dir, n_bands=emb_n_bands, planes_per_band=planes_per_band,
+            threshold=emb_threshold,
+        )
     ).select(
         F.col("vec_id").alias("doc_id"),
         F.col("cluster_id").alias("_ec"),

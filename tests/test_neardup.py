@@ -896,15 +896,12 @@ def test_numpy_band_paths_null_embedding_parity(spark):
     assert len(topk) > 0
 
 
-def test_q50_reconciliation_golden_planted_disagreement(spark, tmp_path):
-    """VERDICT r5 #7 golden: a corpus engineered so the two modalities
-    disagree in every possible way — text-only pairs, embedding-only pairs,
-    agreeing pairs (both_keeper/both_drop), and a doc that TEXT drops but
-    EMBEDDING keeps (keeper_conflict — the row a curation policy must
-    adjudicate)."""
+def _q50_disagreement_corpus(spark, tmp_path) -> str:
+    """Corpus engineered so the two modalities disagree in every possible
+    way — text-only pairs, embedding-only pairs, agreeing pairs
+    (both_keeper/both_drop), and a doc that TEXT drops but EMBEDDING keeps
+    (keeper_conflict)."""
     import numpy as np
-
-    from real_time_anomaly_detection_spark.queries import QUERIES
 
     rng = np.random.RandomState(11)
     base = {i: rng.normal(size=64) for i in range(9)}
@@ -932,7 +929,14 @@ def test_q50_reconciliation_golden_planted_disagreement(spark, tmp_path):
         [(i, [float(v) for v in emb[i]]) for i in range(9)],
         "vec_id long, embedding array<float>",
     ).write.parquet(os.path.join(path, "embeddings.parquet"))
+    return path
 
+
+def test_q50_reconciliation_golden_planted_disagreement(spark, tmp_path):
+    """VERDICT r5 #7 golden over the planted-disagreement corpus."""
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    path = _q50_disagreement_corpus(spark, tmp_path)
     got = {
         int(r.doc_id): (r.status, int(r.text_cluster), bool(r.text_keeper),
                         int(r.emb_cluster), bool(r.emb_keeper))
@@ -949,3 +953,32 @@ def test_q50_reconciliation_golden_planted_disagreement(spark, tmp_path):
         7: ("both_keeper", 7, True, 7, True),
         8: ("both_drop", 7, False, 7, False),
     }
+
+
+def test_q50_precomputed_clusters_parity(spark, tmp_path):
+    """q50's materialized-input path (how the bench and a production
+    pipeline run reconciliation — cluster-update checkpoints per-modality
+    labels, the report joins the label tables) must emit exactly the rows
+    the recompute path does."""
+    from real_time_anomaly_detection_spark.queries import (
+        q47_neardup_clusters,
+        q49_embedding_clusters,
+        q50_modality_reconciliation,
+    )
+
+    path = _q50_disagreement_corpus(spark, tmp_path)
+    tp = str(tmp_path / "text_clusters")
+    ep = str(tmp_path / "emb_clusters")
+    q47_neardup_clusters(spark, path).write.parquet(tp)
+    q49_embedding_clusters(spark, path).write.parquet(ep)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    recomputed = rows(q50_modality_reconciliation(spark, path))
+    precomputed = rows(q50_modality_reconciliation(
+        spark, path,
+        text_clusters=spark.read.parquet(tp),
+        emb_clusters=spark.read.parquet(ep),
+    ))
+    assert precomputed == recomputed and len(precomputed) == 9
