@@ -41,6 +41,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from real_time_anomaly_detection_spark import engine, synth  # noqa: E402
+from real_time_anomaly_detection_spark.caching import release_cached  # noqa: E402
 from real_time_anomaly_detection_spark.operators import drift  # noqa: E402
 from real_time_anomaly_detection_spark.queries import QUERIES  # noqa: E402
 from real_time_anomaly_detection_spark.session import get_spark  # noqa: E402
@@ -157,8 +158,10 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         _force(fn(spark, src))
         out[name] = round(time.perf_counter() - t0, 3)
         # queries persist() their multi-referenced intermediates and cannot
-        # unpersist before returning; clear between queries so the bench
-        # session doesn't accumulate cached relations across the suite
+        # unpersist before returning; release the tracked registry (and
+        # clearCache as a belt) so the bench session doesn't accumulate
+        # cached relations across the suite
+        release_cached()
         spark.catalog.clearCache()
     return out
 
@@ -391,6 +394,9 @@ def main() -> None:
                     "neardup_config": "threshold-derived banding "
                                       "(q29/q34 @0.5, q42 @0.9); registry "
                                       "oracle geometry not benched",
+                    "q50_inputs": "materialized cluster relations (r6: the "
+                                  "cluster compute is the q47/q49 rows; "
+                                  "pre-change q50 re-timed both stacks)",
                     "scaling_evidence_file": "BENCH/BASELINE.md",
                     "audio_neardup": {
                         "n_clips": vrows,

@@ -448,6 +448,10 @@ def main(argv: list[str] | None = None) -> None:
         pairs = AFP.neardup_pairs(fps, max_hamming=args.max_hamming,
                                   bucket_cap=cap)
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+        # the persisted fingerprint relation's consumers are all materialized
+        from .caching import release_cached
+
+        release_cached()
         pairs = spark.read.parquet(os.path.join(args.out, "pairs"))
         if args.transcript_conflicts:
             from .operators.label_consistency import neardup_transcript_conflicts
@@ -480,6 +484,9 @@ def main(argv: list[str] | None = None) -> None:
         ).write.mode("overwrite").parquet(
             os.path.join(args.out, "containments")
         )
+        from .caching import release_cached
+
+        release_cached()  # the persisted seeds relation is fully consumed
         pairs = spark.read.parquet(os.path.join(args.out, "containments"))
         # terminal mapping: each contained clip -> the TOP of its chain
         ACT.containment_canonical(pairs).write.mode("overwrite").parquet(

@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..audio import codecs
+from ..caching import persist_tracked
 from .audio_fingerprint import _AF_FMAX_HZ, _AF_FMIN_HZ
 
 _CT_NBANDS = 24  # coarser than the whole-clip 48: frames are short
@@ -223,10 +224,9 @@ def containment_pairs(
     silent-but-one-band — cannot go quadratic; containments supported
     ONLY by capped buckets are missed (documented recall trade).
     """
-    fp = (
+    fp = persist_tracked(  # seeds relation is referenced by both join sides
         frame_fps.filter(F.col("fp_ok") & (F.col("n_frames") >= min_inner_frames))
         .select("clip_id", "n_frames", "frame_fps")
-        .persist()  # seeds relation is referenced by both join sides
     )
     frames = fp.select(
         "clip_id",

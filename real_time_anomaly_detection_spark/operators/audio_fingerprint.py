@@ -72,6 +72,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..audio import codecs
+from ..caching import persist_tracked
 
 _AF_NBANDS = 48  # descriptor resolution (log-spaced Hz bands)
 _AF_BITS = 128
@@ -214,8 +215,9 @@ def neardup_pairs(
     fp = fps.filter(F.col("fp_ok")).select(
         "clip_id", "bands", dq.alias("dq")
     )
-    # multi-referenced by the self-join below (q40 pattern)
-    fp = fp.persist()
+    # multi-referenced by the self-join below (q40 pattern); tracked so
+    # long-lived sessions can release it via caching.release_cached()
+    fp = persist_tracked(fp)
     chunks = F.array(
         *[
             F.struct(

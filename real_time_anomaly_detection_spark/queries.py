@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked as _persist
+
 TABLES = (
     "region",
     "nation",
@@ -1220,8 +1222,9 @@ def q29_minhash_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     d = load(spark, sf_dir, "documents")
     # persisted: the candidate self-join references the bands relation on
     # both sides — without this the tokenize+minhash derivation runs twice
-    # (the q43 multi-reference pattern, r5)
-    x = _mh_bands_rows(d, n_bands, rows_per_band).persist()
+    # (the q43 multi-reference pattern, r5); tracked so release_cached()
+    # can drain it after the caller's action (ADVICE r5)
+    x = _persist(_mh_bands_rows(d, n_bands, rows_per_band))
     return _lsh_candidate_pairs(x, max_bucket_size)
 
 
@@ -1253,8 +1256,8 @@ def q34_neardup_lsh_verified(spark, sf_dir, max_bucket_size: int | None = None,
     n_bands, rows_per_band = _resolve_banding(n_bands, rows_per_band, threshold)
     docs = load(spark, sf_dir, "documents")
     d = docs.select("doc_id", _hashed_tokens(F.col("text")).alias("toks"))
-    # persisted: both sides of the candidate self-join (r5)
-    x = _mh_bands_rows(docs, n_bands, rows_per_band, with_size=True).persist()
+    # persisted (tracked): both sides of the candidate self-join (r5)
+    x = _persist(_mh_bands_rows(docs, n_bands, rows_per_band, with_size=True))
     # Exact size-ratio prefilter (VERDICT r4 #2): J(A,B) <= min|A|,|B| /
     # max|A|,|B| (intersection <= min, union >= max), so J >= t implies the
     # size ratio >= t. Sizes are 8-byte ints carried on the band rows — the
@@ -1658,8 +1661,8 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    # persisted: both sides of the candidate self-join (r5)
-    x = _nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id").persist()
+    # persisted (tracked): both sides of the candidate self-join (r5)
+    x = _persist(_nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id"))
     # shared candidate-join helper: probe-side repartition + cap/salt knobs
     cands = _lsh_candidate_pairs(x, max_bucket_size, salt).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
@@ -1838,14 +1841,13 @@ def _ivf_topk_from_cents(e, cents, nprobe: int = _IVF_NPROBE):
                 pdf["_cells"] = list(cell_ids[order[:, :nprobe]])
                 yield pdf
 
-        scored = (
+        scored = _persist(
             e.select("vec_id", "emb").repartition(par).mapInPandas(
                 rank_batches,
                 schema="vec_id long, emb array<double>, _cells array<int>",
             )
             # referenced twice below (assigned + probes): persist so the
             # UDF pass runs once (the q40/q43 multi-reference pattern)
-            .persist()
         )
     assigned = scored.select(
         F.col("vec_id").alias("cand_id"),
@@ -2206,7 +2208,7 @@ def q40_simhash_hamming(spark, sf_dir):
     # one row per doc; persisted because the banded self-join below would
     # otherwise re-derive the whole explode + 60-vote simhash agg once per
     # join side (the q29/q43 multi-reference pattern)
-    fp = _simhash60(load(spark, sf_dir, "documents")).persist()
+    fp = _persist(_simhash60(load(spark, sf_dir, "documents")))
     chunks = F.array(
         *[
             F.struct(

@@ -9,6 +9,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from real_time_anomaly_detection_spark.caching import release_cached
 from real_time_anomaly_detection_spark.queries import (
     ORACLES as _STATIC_ORACLES,
     QUERIES,
@@ -132,8 +133,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
     # queries persist() multi-referenced intermediates and cannot unpersist
-    # before returning — clear between cases so a 49-query module doesn't
-    # accumulate cached relations until LRU churn (ADVICE r5)
+    # before returning — drain the tracked registry (+ clearCache belt)
+    # between cases so a 49-query module doesn't accumulate cached
+    # relations until LRU churn (ADVICE r5)
+    release_cached()
     spark.catalog.clearCache()
     spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
     if name == "q49_embedding_clusters":
