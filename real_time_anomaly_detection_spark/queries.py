@@ -2926,6 +2926,217 @@ FROM s GROUP BY lang
 """
 
 
+# q53: Gopher-style repetition quality signals (Rae et al. 2021, appendix
+# A1.1). Thresholds: top-2-gram fraction 0.20 is Gopher's published cut;
+# the duplicate-2-gram cut 0.60 is corpus-tuned (this synthetic corpus has
+# a tiny vocabulary, so duplicate 2-grams are pervasive by construction —
+# the published 5..10-gram duplicate cuts would be degenerate here).
+_Q53_TOP2_MAX = 0.20
+_Q53_DUP2_MAX = 0.60
+
+
+def q53_repetition_signals(spark, sf_dir,
+                           top2_max: float = _Q53_TOP2_MAX,
+                           dup2_max: float = _Q53_DUP2_MAX):
+    """Per-document repetition filter signals — the Gopher-class quality
+    gate an LLM pipeline runs before training: documents dominated by a
+    repeated phrase (SEO spam, boilerplate, degenerate generations) are
+    flagged by the fraction of token mass inside their most frequent
+    word / 2-gram and the fraction of duplicated 2-gram occurrences.
+
+    Definitions (token = whitespace split, empties dropped; docs with <2
+    tokens are excluded — no 2-gram is defined):
+    - top_word_frac  = max word count / n_tokens
+    - top_2gram_frac = 2 * max 2-gram count / n_tokens
+    - dup_2gram_frac = (sum of counts of 2-grams occurring >1x) / (n_tokens-1)
+    - keep           = top_2gram_frac <= `top2_max` AND dup_2gram_frac <=
+      `dup2_max`, compared on the 6-decimal-rounded values (both engines
+      divide identical integers, so the rounded doubles are bit-equal).
+
+    Spark shape for 100 TB: every signal depends only on the document's own
+    tokens, so the whole computation is ONE scan-local mapInPandas pass —
+    zero shuffle, nothing corpus-scale ever leaves the scan (the naive
+    explode+groupBy(doc, gram) formulation shuffles the entire token
+    stream). Null texts are skipped inside the batch loop (ADVICE r5 null
+    convention). Counter-per-doc in the Arrow batch is the same
+    per-partition numpy/pandas idiom as `_mh_bands_rows`."""
+    t2x, d2x = float(top2_max), float(dup2_max)
+
+    def signals(batches):
+        from collections import Counter
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_tokens", "top_word_frac", "top_2gram_frac",
+                    "dup_2gram_frac", "keep")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or (isinstance(text, float)):
+                    continue  # null text: no signals (both engines skip)
+                toks = text.split()
+                n = len(toks)
+                if n < 2:
+                    continue
+                wc = Counter(toks)
+                gc = Counter(zip(toks, toks[1:]))
+                top_word = round(max(wc.values()) / n, 6)
+                top2 = round(2.0 * max(gc.values()) / n, 6)
+                dup2 = round(
+                    sum(c for c in gc.values() if c > 1) / (n - 1), 6
+                )
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["top_word_frac"].append(top_word)
+                out["top_2gram_frac"].append(top2)
+                out["dup_2gram_frac"].append(dup2)
+                out["keep"].append(top2 <= t2x and dup2 <= d2x)
+            yield _pd.DataFrame(out)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            signals,
+            schema="doc_id long, n_tokens long, top_word_frac double, "
+                   "top_2gram_frac double, dup_2gram_frac double, "
+                   "keep boolean",
+        )
+    )
+
+
+_Q53_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+d AS (SELECT doc_id, len(toks) AS n, toks FROM t WHERE len(toks) >= 2),
+w AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+wc AS (SELECT doc_id, max(c) AS mw FROM
+        (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok)
+       GROUP BY doc_id),
+g AS (SELECT doc_id,
+             toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT) + 1] AS gram
+      FROM d, unnest(range(1, len(toks))) AS u(i)),
+gs AS (SELECT doc_id, max(c) AS mg,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dups
+       FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_tokens,
+       round(wc.mw / CAST(d.n AS DOUBLE), 6) AS top_word_frac,
+       round(2.0 * gs.mg / d.n, 6) AS top_2gram_frac,
+       round(gs.dups / CAST(d.n - 1 AS DOUBLE), 6) AS dup_2gram_frac,
+       (round(2.0 * gs.mg / d.n, 6) <= {_Q53_TOP2_MAX}
+        AND round(gs.dups / CAST(d.n - 1 AS DOUBLE), 6) <= {_Q53_DUP2_MAX})
+         AS keep
+FROM d JOIN wc USING (doc_id) JOIN gs USING (doc_id)
+"""
+
+
+# q54: greedy sequential sequence packing — the final assembly step of a
+# training pipeline: concatenate documents into fixed-token-budget training
+# examples. Packing is inherently sequential WITHIN a stream, so the 100 TB
+# parallelism unit is the number of independent streams (shards): each
+# shard packs its own deterministic doc_id order.
+_Q54_BUDGET = 256
+_Q54_SHARDS = 8
+
+
+def q54_sequence_packing(spark, sf_dir, budget: int = _Q54_BUDGET,
+                         n_shards: int = _Q54_SHARDS):
+    """Greedy token-budget sequence packing: assign each document (in
+    deterministic doc_id order within its md5 shard) to the current pack
+    until adding it would exceed `budget` tokens, then open a new pack.
+    A document longer than the budget overflows a pack of its own (fill
+    rate > 1) — truncation/splitting is a downstream tokenizer decision,
+    not the packer's.
+
+    Spark shape for 100 TB: token counts are a map-side expression; the
+    only shuffle keys on `shard`, and each shard packs independently inside
+    ONE applyInPandas group. Parallelism therefore equals `n_shards` — a
+    real deployment sizes n_shards so a shard's (doc_id, ntok) pairs fit an
+    executor (metadata-scale: ~16 bytes/doc, so 64k shards cover 10^12 docs
+    at ~250 MB/shard); the default 8 matches this test corpus. The greedy
+    scan itself never sees document TEXT — only id + count ride the
+    shuffle.
+
+    Output: one row per pack (shard, pack_id, n_docs, n_tokens, fill_rate).
+
+    DuckDB oracle: recursive CTE walking rn -> rn+1 per shard — the exact
+    same greedy recurrence, row by row."""
+    import pandas as pd
+
+    b = int(budget)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("q54:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+        % n_shards
+    )
+    ntok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    rows = d.select(shard.alias("shard"), "doc_id", ntok.alias("ntok"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pack_ids, acc, pid = [], 0, 0
+        first = True
+        for nt in pdf["ntok"]:
+            nt = int(nt)
+            if not first and acc + nt > b:
+                pid, acc = pid + 1, nt
+            else:
+                acc += nt
+            first = False
+            pack_ids.append(pid)
+        pdf = pdf.assign(pack_id=pack_ids)
+        return (
+            pdf.groupby(["shard", "pack_id"], as_index=False)
+            .agg(n_docs=("doc_id", "size"), n_tokens=("ntok", "sum"))
+        )[["shard", "pack_id", "n_docs", "n_tokens"]]
+
+    packed = rows.groupBy("shard").applyInPandas(
+        pack,
+        schema="shard long, pack_id long, n_docs long, n_tokens long",
+    )
+    # fill_rate rounds JVM-side: F.round is HALF_UP like DuckDB's round();
+    # pandas .round is half-even and n/2^k budgets tie at the 6th decimal
+    return packed.withColumn("fill_rate", _r6(F.col("n_tokens") / F.lit(b)))
+
+
+_Q54_SQL = f"""
+WITH RECURSIVE d0 AS (
+  SELECT (CAST('0x' || substr(md5('q54:' || CAST(doc_id AS VARCHAR)), 1, 15)
+          AS BIGINT) % {_Q54_SHARDS}) AS shard,
+         doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS ntok
+  FROM documents WHERE text IS NOT NULL),
+d AS (SELECT shard, doc_id, ntok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d0),
+r AS (
+  SELECT shard, rn, ntok, 0 AS pack_id, ntok AS acc FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.ntok,
+         CASE WHEN r.acc + d.ntok > {_Q54_BUDGET}
+              THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.acc + d.ntok > {_Q54_BUDGET}
+              THEN d.ntok ELSE r.acc + d.ntok END
+  FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+SELECT shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       round(sum(ntok) / CAST({_Q54_BUDGET} AS DOUBLE), 6) AS fill_rate
+FROM r GROUP BY shard, pack_id
+"""
+
+
 def q47_neardup_clusters(spark, sf_dir, max_bucket_size: int | None = None,
                          salt: int | None = None,
                          n_bands: int | None = None,
@@ -3237,6 +3448,8 @@ QUERIES = {
     ),
     "q51_decontamination": q51_decontamination,
     "q52_stratified_sample": q52_stratified_sample,
+    "q53_repetition_signals": q53_repetition_signals,
+    "q54_sequence_packing": q54_sequence_packing,
 }
 
 ORACLES = {
@@ -3288,6 +3501,8 @@ ORACLES = {
     "q50_modality_reconciliation": _Q50_SQL,
     "q51_decontamination": _Q51_SQL,
     "q52_stratified_sample": _Q52_SQL,
+    "q53_repetition_signals": _Q53_SQL,
+    "q54_sequence_packing": _Q54_SQL,
 }
 
 

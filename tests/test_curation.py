@@ -94,3 +94,76 @@ def test_stratified_sample_rates_and_determinism(spark):
     kept = d.filter(h < thresh.otherwise(F.lit(10000)))
     counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {k: v.n_kept for k, v in a.items()}
+
+
+def test_repetition_signals_planted_docs(spark):
+    """A phrase-looped doc fails the gate; a diverse doc passes; <2-token
+    and null docs are excluded (no 2-gram is defined)."""
+    import tempfile
+
+    from real_time_anomaly_detection_spark.queries import q53_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "en", "s", 19),          # degenerate
+            (2, "a b c d e f g h i j k l", "en", "s", 23),      # diverse
+            (3, "one", "en", "s", 3),                           # <2 tokens
+            (4, None, "en", "s", 0),                            # null text
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q53_repetition_signals(spark, d).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]  # 4x 'spam': top word 4/4, gram ('spam spam') 3x -> 2*3/4
+    assert r1.n_tokens == 4 and r1.top_word_frac == 1.0
+    assert r1.top_2gram_frac == 1.5 and r1.dup_2gram_frac == 1.0
+    assert not r1.keep
+    r2 = out[2]  # 12 distinct tokens: top2 = 2/12, no duplicate grams
+    assert r2.top_2gram_frac == 0.166667 and r2.dup_2gram_frac == 0.0
+    assert r2.keep
+
+
+def test_sequence_packing_greedy_boundaries(spark):
+    """Greedy fill: exact-fit stays in pack, overflow doc packs alone
+    (fill_rate > 1), next doc opens a fresh pack."""
+    import tempfile
+
+    from real_time_anomaly_detection_spark.queries import q54_sequence_packing
+
+    def toks(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    # doc_id order IS pack order; token counts 4,5,3,7,12,2 vs budget 10:
+    # p0=[4,5] (9), p1=[3,7] (10, exact fit), p2=[12] (overflow), p3=[2]
+    rows = [(i, toks(n, f"d{i}_"), "en", "s", 0)
+            for i, n in enumerate([4, 5, 3, 7, 12, 2])]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = sorted(
+            q54_sequence_packing(spark, d, budget=10, n_shards=1).collect(),
+            key=lambda r: r.pack_id,
+        )
+    got = [(r.pack_id, r.n_docs, r.n_tokens, r.fill_rate) for r in out]
+    assert got == [
+        (0, 2, 9, 0.9),
+        (1, 2, 10, 1.0),
+        (2, 1, 12, 1.2),
+        (3, 1, 2, 0.2),
+    ]
+
+
+def test_sequence_packing_deterministic_and_sharded(spark, sf_dir):
+    """Two invocations produce identical packs, and every shard id is in
+    range — the parallelism unit is the shard."""
+    from real_time_anomaly_detection_spark.queries import q54_sequence_packing
+
+    a = sorted(map(tuple, q54_sequence_packing(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q54_sequence_packing(spark, sf_dir).collect()))
+    assert a == b and a
+    assert {t[0] for t in a} <= set(range(8))

@@ -272,3 +272,30 @@ def test_stratified_sample_is_one_scan_one_agg(spark):
     p = plan_str(QUERIES["q52_stratified_sample"](spark, SF))
     assert "Join" not in p and "Window" not in p, p
     assert p.count("Exchange") == 1, p
+
+
+def test_repetition_signals_shuffle_free(spark):
+    """q53's signals depend only on each doc's own tokens, so the whole
+    computation is one scan-local Arrow pass: no Exchange, no Join — the
+    naive explode+groupBy(doc, gram) would shuffle the full token stream."""
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    p = plan_str(QUERIES["q53_repetition_signals"](spark, SF))
+    assert "Exchange" not in p, f"q53 must be shuffle-free:\n{p}"
+    assert "Join" not in p, p
+
+
+def test_sequence_packing_one_shard_shuffle_no_text(spark):
+    """q54 shuffles exactly once, keyed on shard, and only (shard, doc_id,
+    ntok) metadata rides it — document text dies at the scan."""
+    from real_time_anomaly_detection_spark.queries import QUERIES
+
+    df = QUERIES["q54_sequence_packing"](spark, SF)
+    p = plan_str(df)
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(shard" in p, p
+    assert "Join" not in p, p
+    # the exchanged row is metadata: the ntok Project consumes text BELOW
+    # the Exchange; nothing above the Exchange may reference it
+    above_exchange = p.split("Exchange")[0]
+    assert "text#" not in above_exchange, above_exchange
