@@ -2970,7 +2970,7 @@ def q53_repetition_signals(spark, sf_dir,
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "n_tokens", "top_word_frac", "top_2gram_frac",
-                    "dup_2gram_frac", "keep")}
+                    "dup_2gram_frac")}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None or (isinstance(text, float)):
                     continue  # null text: no signals (both engines skip)
@@ -2980,28 +2980,36 @@ def q53_repetition_signals(spark, sf_dir,
                     continue
                 wc = Counter(toks)
                 gc = Counter(zip(toks, toks[1:]))
-                top_word = round(max(wc.values()) / n, 6)
-                top2 = round(2.0 * max(gc.values()) / n, 6)
-                dup2 = round(
-                    sum(c for c in gc.values() if c > 1) / (n - 1), 6
-                )
                 out["doc_id"].append(doc_id)
                 out["n_tokens"].append(n)
-                out["top_word_frac"].append(top_word)
-                out["top_2gram_frac"].append(top2)
-                out["dup_2gram_frac"].append(dup2)
-                out["keep"].append(top2 <= t2x and dup2 <= d2x)
+                # RAW IEEE fractions (exact-int divisions, identical in any
+                # engine); rounding happens JVM-side below because python's
+                # round() is half-even while F.round/DuckDB are HALF_UP —
+                # dyadic ties like 2/256 flip the 6th decimal otherwise
+                out["top_word_frac"].append(max(wc.values()) / n)
+                out["top_2gram_frac"].append(2.0 * max(gc.values()) / n)
+                out["dup_2gram_frac"].append(
+                    sum(c for c in gc.values() if c > 1) / (n - 1)
+                )
             yield _pd.DataFrame(out)
 
-    return (
+    raw = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .mapInPandas(
             signals,
             schema="doc_id long, n_tokens long, top_word_frac double, "
-                   "top_2gram_frac double, dup_2gram_frac double, "
-                   "keep boolean",
+                   "top_2gram_frac double, dup_2gram_frac double",
         )
+    )
+    top2, dup2 = _r6(F.col("top_2gram_frac")), _r6(F.col("dup_2gram_frac"))
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        _r6(F.col("top_word_frac")).alias("top_word_frac"),
+        top2.alias("top_2gram_frac"),
+        dup2.alias("dup_2gram_frac"),
+        ((top2 <= F.lit(t2x)) & (dup2 <= F.lit(d2x))).alias("keep"),
     )
 
 

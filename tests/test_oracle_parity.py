@@ -100,6 +100,54 @@ def _q50_union_find_oracle(ddb) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "text_cluster", "text_keeper",
                                        "emb_cluster", "emb_keeper", "status"])
 
+
+def _q54_greedy_oracle(ddb) -> pd.DataFrame:
+    """q54's oracle without the recursive CTE: DuckDB computes only the
+    (shard, doc_id, ntok) base relation — the _Q54_SQL recursion joins once
+    per row per shard (~6,250 levels at sf1, >600s measured), while the
+    greedy recurrence itself is a trivial driver-side scan. The full
+    recursive SQL remains the DRIVER's oracle at its sf0.01 gate."""
+    from real_time_anomaly_detection_spark.queries import _Q54_BUDGET, _Q54_SHARDS
+
+    base = ddb.sql(f"""
+        SELECT (CAST('0x' || substr(md5('q54:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % {_Q54_SHARDS}) AS shard,
+               doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                 AS ntok
+        FROM documents WHERE text IS NOT NULL
+        ORDER BY shard, doc_id
+    """).df()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = []
+    prev_shard = None
+    for shard, ntok in zip(base["shard"], base["ntok"]):
+        ntok = int(ntok)
+        if shard != prev_shard:  # base is ordered: shards are contiguous
+            prev_shard, pid, acc = shard, 0, ntok
+            rows.append([shard, pid, 1, ntok])
+        elif acc + ntok > _Q54_BUDGET:
+            pid, acc = pid + 1, ntok
+            rows.append([shard, pid, 1, ntok])
+        else:
+            acc += ntok
+            rows[-1][2] += 1
+            rows[-1][3] += ntok
+    out = pd.DataFrame(rows, columns=["shard", "pack_id", "n_docs", "n_tokens"])
+    # HALF_UP like DuckDB round()/F.round — "%.6f" would round half-even
+    # (n/2^k division is exact in both decimal and binary, so Decimal
+    # quantize and the engines' double rounding agree bit-for-bit)
+    out["fill_rate"] = [
+        float(
+            (Decimal(int(n)) / Decimal(_Q54_BUDGET)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        for n in out["n_tokens"]
+    ]
+    return out
+
 # Large-scale runs swap q22's all-pairs oracle (O(n^2), 11e9 pairs at sf1's
 # 150k customers) for the grid-prefiltered SQL twin — same result, feasible.
 if os.environ.get("SPARK_GRAFT_GRID_ORACLE"):
@@ -143,6 +191,8 @@ def test_query_matches_oracle(spark, ddb, name):
         duck_pdf = _q49_union_find_oracle(ddb)
     elif name == "q50_modality_reconciliation":
         duck_pdf = _q50_union_find_oracle(ddb)
+    elif name == "q54_sequence_packing":
+        duck_pdf = _q54_greedy_oracle(ddb)
     else:
         duck_pdf = ddb.sql(_oracle_for(name)).df()
     a, b = normalize(spark_pdf), normalize(duck_pdf)
