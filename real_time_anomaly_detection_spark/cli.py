@@ -163,6 +163,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-clipping-ratio", type=float, default=0.01)
     p.add_argument("--max-silence-ratio", type=float, default=0.9)
 
+    p = sub.add_parser("pack-batches")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="output root: assignments/ and batch_stats/")
+    p.add_argument("--budget-s", type=float, default=60.0,
+                   help="audio seconds per training batch")
+    p.add_argument("--n-shards", type=int, default=8,
+                   help="independent packing streams (parallelism unit)")
+
     p = sub.add_parser("audio-neardup")
     _add_common(p)
     p.add_argument("--input", required=True, help="clips parquet dir")
@@ -491,6 +501,24 @@ def main(argv: list[str] | None = None) -> None:
         # terminal mapping: each contained clip -> the TOP of its chain
         ACT.containment_canonical(pairs).write.mode("overwrite").parquet(
             os.path.join(args.out, "canonical")
+        )
+        print(args.out)
+        return
+
+    if args.cmd == "pack-batches":
+        from .operators import audio_packing as AP
+
+        clips = spark.read.parquet(args.input)
+        asg = AP.pack_batches(clips, budget_s=args.budget_s,
+                              n_shards=args.n_shards)
+        asg.write.mode("overwrite").parquet(
+            os.path.join(args.out, "assignments")
+        )
+        AP.batch_stats(
+            spark.read.parquet(os.path.join(args.out, "assignments")),
+            budget_s=args.budget_s,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.out, "batch_stats")
         )
         print(args.out)
         return
