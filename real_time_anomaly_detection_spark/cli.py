@@ -98,6 +98,16 @@ def main(argv: list[str] | None = None) -> None:
                        help="also flag content-duplicate clips whose "
                             "transcripts disagree after normalization "
                             "(shares the content-dedup digest pass)")
+        p.add_argument("--speaking-rate", action="store_true",
+                       help="also flag clips whose transcript-chars-per-"
+                            "second is physiologically impossible or a "
+                            "robust outlier within its codec group "
+                            "(wrong-pairing / truncation detector; "
+                            "metadata-only, no extra bytes scan)")
+        p.add_argument("--min-cps", type=float, default=None,
+                       help="speaking-rate lower bound (chars/sec)")
+        p.add_argument("--max-cps", type=float, default=None,
+                       help="speaking-rate upper bound (chars/sec)")
         p.add_argument("--n-clips", type=int, default=10000)
         p.add_argument("--clips-per-partition", type=int, default=1000)
         p.add_argument("--golden", action="store_true")
@@ -606,10 +616,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     vcfg = engine.ValidationConfig()
     extra_checks = [c for flag, c in (("content_dedup", "content_dedup"),
-                                      ("label_consistency", "label_consistency"))
+                                      ("label_consistency", "label_consistency"),
+                                      ("speaking_rate", "speaking_rate"))
                     if getattr(args, flag, False)]
-    if extra_checks:
-        vcfg = engine.ValidationConfig(checks=(*vcfg.checks, *extra_checks))
+    cps_kw = {}
+    if getattr(args, "min_cps", None) is not None:
+        cps_kw["min_cps"] = args.min_cps
+    if getattr(args, "max_cps", None) is not None:
+        cps_kw["max_cps"] = args.max_cps
+    if extra_checks or cps_kw:
+        vcfg = engine.ValidationConfig(checks=(*vcfg.checks, *extra_checks), **cps_kw)
     ref_pcm_fn = None
     if getattr(args, "synth_oracle", False):
         from . import synth

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from . import manifest as mf
 from .operators import (audio_checks, content_dedup, drift, label_consistency,
-                        referential, stats, uniqueness)
+                        referential, speaking_rate, stats, uniqueness)
 from .schemas import PARTITION_VERDICTS, VIOLATIONS
 
 # Persisted DataFrames per validate() run, so callers can unpersist once the
@@ -87,6 +87,12 @@ class ValidationConfig:
     # rows the refs side is far past any broadcast threshold and a forced
     # broadcast serializes on the driver, so auto is the scale-safe default.
     broadcast_refs: bool | None = None
+    # opt-in 'speaking_rate': transcript-chars-per-second consistency (the
+    # wrong-pairing / truncation detector). Absolute bounds always run;
+    # group robust outliers run when speaking_rate_groups is non-empty.
+    min_cps: float = speaking_rate.MIN_CPS
+    max_cps: float = speaking_rate.MAX_CPS
+    speaking_rate_groups: tuple[str, ...] = ("codec",)
     approx: bool = True
     checks: tuple[str, ...] = field(
         default=("column_stats", "uniqueness", "referential", "drift", "audio")
@@ -102,6 +108,8 @@ class ValidationConfig:
             names.append("content_dedup")
         if "label_consistency" in self.checks:
             names.append("label_consistency")
+        if "speaking_rate" in self.checks:
+            names.append("speaking_rate")
         if "referential" in self.checks:
             names.append("referential")
         if "drift" in self.checks:
@@ -128,6 +136,8 @@ class ValidationConfig:
             names.append("content_dedup")
         if "label_consistency" in self.checks:
             names.append("label_consistency")
+        if "speaking_rate" in self.checks:
+            names.append("speaking_rate")
         if "referential" in self.checks and refs is not None:
             names.append("referential")
         if "drift" in self.checks and baseline_rows:
@@ -169,8 +179,10 @@ def validate(
     # that family's status='error' verdict, not an abort before any family runs
     audio_on = "audio" in cfg.checks and refs is not None and ref_pcm_fn is not None
     wanted = [cfg.part_col, "clip_id", *cfg.columns, *cfg.categorical]
-    if audio_on:
-        wanted.append("transcript")  # transcript check shares the meta scan
+    if audio_on or "speaking_rate" in cfg.checks:
+        wanted.append("transcript")  # transcript + cps checks share the meta scan
+    if "speaking_rate" in cfg.checks:
+        wanted.append("dur_ms")  # cps denominator, even if not a stats column
     meta_cols = [c for c in dict.fromkeys(wanted) if c in clips.columns]
     meta = clips.select(*meta_cols).persist()
     _PERSISTED.setdefault(run_id, []).append(meta)
@@ -281,6 +293,26 @@ def validate(
             violations.append(label_consistency.label_consistency_violations(
                 clips, cfg.part_col, conflicts=conflicts))
         _family("label_consistency", _build_label_consistency)
+    if "speaking_rate" in cfg.checks:
+        def _build_speaking_rate():
+            # signals are a map-side projection of the cached meta scan;
+            # persisted because verdicts, violations and (optionally) the
+            # robust-outlier aggs all consume them
+            sig = speaking_rate.speaking_rate_signals(meta, cfg.part_col).persist()
+            _PERSISTED[run_id].append(sig)
+            out = None
+            groups = tuple(g for g in cfg.speaking_rate_groups if g in sig.columns)
+            if groups:
+                # outlier rows only (tiny); shared by verdicts + violations
+                out = speaking_rate.speaking_rate_outliers(sig, groups).persist()
+                _PERSISTED[run_id].append(out)
+            verdicts.append(speaking_rate.speaking_rate_verdicts(
+                meta, cfg.part_col, cfg.min_cps, cfg.max_cps,
+                signals=sig, outliers=out))
+            violations.append(speaking_rate.speaking_rate_violations(
+                meta, cfg.part_col, cfg.min_cps, cfg.max_cps,
+                signals=sig, outliers=out))
+        _family("speaking_rate", _build_speaking_rate)
     if "referential" in cfg.checks and refs is not None:
         def _build_referential():
             # same share-the-intermediate play: ONE anti-join pass, persisted
