@@ -3376,6 +3376,108 @@ FROM t FULL OUTER JOIN e ON t.doc_id = e.vec_id
 """
 
 
+# q55: Gopher-style document heuristic quality filter (Rae et al. 2021,
+# appendix A1.1) — the NON-repetition half of the published rule set; q53
+# carries the repetition rules. min_tokens=40 is corpus-tuned (Gopher's 50
+# would drop 43% of this short-doc synthetic corpus; the point of the gate
+# is the tail, and 40 flags the bottom ~30%). Symbol/bullet/ellipsis line
+# rules are omitted: this corpus has no newlines, digits or symbols, so
+# they are uncomputable-by-vacuity here, not implementation gaps.
+_Q55_MIN_TOKENS = 40
+_Q55_MAX_TOKENS = 100_000
+_Q55_MWL_MIN = 3.0
+_Q55_MWL_MAX = 10.0
+_Q55_ALPHA_MIN = 0.8
+_Q55_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_Q55_MIN_STOPWORDS = 2
+
+
+def q55_quality_heuristics(spark, sf_dir,
+                           min_tokens: int = _Q55_MIN_TOKENS,
+                           max_tokens: int = _Q55_MAX_TOKENS,
+                           mwl_min: float = _Q55_MWL_MIN,
+                           mwl_max: float = _Q55_MWL_MAX,
+                           alpha_min: float = _Q55_ALPHA_MIN,
+                           min_stopwords: int = _Q55_MIN_STOPWORDS):
+    """Per-document Gopher heuristic quality signals and keep gate:
+
+    - n_tokens        in [min_tokens, max_tokens]  (whitespace tokens)
+    - mean_word_len   in [mwl_min, mwl_max]        (Gopher: 3..10)
+    - alpha_word_frac >= alpha_min                 (words with >=1 [A-Za-z])
+    - n_stopwords     >= min_stopwords             (DISTINCT members of
+      Gopher's published stop set present: the/be/to/of/and/that/have/with)
+
+    Fractions compare on the 6-dp-rounded values (both engines divide
+    identical integers — q53's rounding-parity convention). Docs with zero
+    tokens are excluded (mean length undefined), mirroring q53's n<2 rule.
+
+    Spark shape for 100 TB: every signal is a Catalyst higher-order-
+    function expression over the doc's own token array (filter/aggregate/
+    array_intersect) — scan-local, whole-stage-codegen, ZERO shuffle and
+    zero Python. The lambda never indexes an invariant array (the O(L^2)
+    HOF trap); each signal is one linear fold."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mwl = _r6(sum_len.cast("double") / F.col("n"))
+    alpha = _r6(
+        F.size(F.filter("toks", lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / F.col("n")
+    )
+    nstop = F.size(
+        F.array_intersect("toks", F.array(*[F.lit(s) for s in _Q55_STOPWORDS]))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("alpha_word_frac"),
+        nstop.alias("n_stopwords"),
+        (
+            F.col("n").between(min_tokens, max_tokens)
+            & mwl.between(mwl_min, mwl_max)
+            & (alpha >= alpha_min)
+            & (nstop >= min_stopwords)
+        ).alias("keep"),
+    )
+
+
+_Q55_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+d AS (SELECT doc_id, len(toks) AS n, toks FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, n,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                   / n, 6) AS mean_word_len,
+             round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(n AS DOUBLE), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(toks,
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS n_stopwords
+      FROM d)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       mean_word_len,
+       alpha_word_frac,
+       n_stopwords,
+       (n BETWEEN {_Q55_MIN_TOKENS} AND {_Q55_MAX_TOKENS}
+        AND mean_word_len BETWEEN {_Q55_MWL_MIN} AND {_Q55_MWL_MAX}
+        AND alpha_word_frac >= {_Q55_ALPHA_MIN}
+        AND n_stopwords >= {_Q55_MIN_STOPWORDS}) AS keep
+FROM s
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -3458,6 +3560,7 @@ QUERIES = {
     "q52_stratified_sample": q52_stratified_sample,
     "q53_repetition_signals": q53_repetition_signals,
     "q54_sequence_packing": q54_sequence_packing,
+    "q55_quality_heuristics": q55_quality_heuristics,
 }
 
 ORACLES = {
@@ -3511,6 +3614,7 @@ ORACLES = {
     "q52_stratified_sample": _Q52_SQL,
     "q53_repetition_signals": _Q53_SQL,
     "q54_sequence_packing": _Q54_SQL,
+    "q55_quality_heuristics": _Q55_SQL,
 }
 
 

@@ -167,3 +167,53 @@ def test_sequence_packing_deterministic_and_sharded(spark, sf_dir):
     b = sorted(map(tuple, q54_sequence_packing(spark, sf_dir).collect()))
     assert a == b and a
     assert {t[0] for t in a} <= set(range(8))
+
+
+def test_quality_heuristics_planted_docs(spark):
+    """q55 keep-gate goldens: each Gopher rule fails in isolation; a
+    compliant doc passes; zero-token/null docs are excluded."""
+    import tempfile
+
+    from real_time_anomaly_detection_spark.queries import q55_quality_heuristics
+
+    good = "the cat sat with the dog and that was fine to see " * 5  # 60 toks
+    rows = [
+        (1, good, "en", "s", len(good)),
+        # too short (10 tokens) but otherwise compliant
+        (2, "the cat sat with the dog and that was fine", "en", "s", 43),
+        # long enough, stopwords present, but mean word len > 10
+        (3, ("the " + "supercalifragilistic " * 2 + "with ") * 12, "en", "s", 0),
+        # long enough but ZERO stop-set members
+        (4, "cat dog bird fish " * 12, "en", "s", 0),
+        # alphabetic fraction below 0.8: 50% symbol tokens
+        (5, ("the of %% !! " * 12) + "be with", "en", "s", 0),
+        (6, "   ", "en", "s", 3),   # zero tokens: excluded
+        (7, None, "en", "s", 0),    # null text: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q55_quality_heuristics(spark, d).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].keep and out[1].n_tokens == 60
+    assert out[1].n_stopwords >= 2
+    assert not out[2].keep and out[2].n_tokens == 10
+    assert not out[3].keep and out[3].mean_word_len > 10.0
+    assert not out[4].keep and out[4].n_stopwords == 0
+    assert not out[5].keep and out[5].alpha_word_frac == 0.52
+    # sanity: rules fail independently — docs 3/4/5 all clear the length gate
+    assert all(out[i].n_tokens >= 40 for i in (3, 4, 5))
+
+
+def test_quality_heuristics_shuffle_free_plan(spark, sf_dir):
+    """Every q55 signal folds over the doc's own token array: the executed
+    plan must contain NO Exchange — the scan is the whole computation."""
+    from real_time_anomaly_detection_spark.queries import q55_quality_heuristics
+
+    plan = (
+        q55_quality_heuristics(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
