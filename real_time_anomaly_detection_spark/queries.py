@@ -3478,6 +3478,76 @@ FROM s
 """
 
 
+# q56: PII detection + redaction — the masking pass public LLM pipelines
+# (C4, Dolma's PII filter) run before training: emails, IPv4 addresses and
+# phone numbers are replaced by typed placeholders, with per-doc match
+# counts for the curation report. Patterns are chosen to parse AND mean
+# the same thing under Java regex (Spark, backtracking leftmost-first)
+# and RE2 (DuckDB, leftmost-longest): greedy-only quantifiers, no
+# alternation, so both engines select identical spans. Redaction is
+# STAGED (email -> ip -> phone) and each class is counted on the text the
+# previous stage produced, so a digit run inside an already-redacted span
+# can never double-count.
+_Q56_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_Q56_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_Q56_PHONE = r"(\+?\d{1,3}[- ])?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b"
+
+
+def q56_pii_redaction(spark, sf_dir):
+    """Per-document PII scan + redacted text: (doc_id, n_emails, n_ips,
+    n_phones, n_pii, redacted). The synthetic corpus contains no PII by
+    construction, so at the oracle scales every count is 0 and `redacted`
+    round-trips the text — the value compare still audits the full
+    regex/replace pipeline byte-for-byte; the planted-PII semantics are
+    pinned by tests/test_curation.py's dual-engine golden.
+
+    Spark shape for 100 TB: three regexp_count + three regexp_replace
+    expressions per row — map-side only, whole-stage codegen, ZERO
+    shuffle; the redacted corpus streams straight back to parquet."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    s1 = F.regexp_replace(F.col("text"), _Q56_EMAIL, "<EMAIL>")
+    d = d.withColumn(
+        "n_emails", F.regexp_count("text", F.lit(_Q56_EMAIL)).cast("long")
+    ).withColumn("_s1", s1)
+    s2 = F.regexp_replace(F.col("_s1"), _Q56_IPV4, "<IP>")
+    d = d.withColumn(
+        "n_ips", F.regexp_count("_s1", F.lit(_Q56_IPV4)).cast("long")
+    ).withColumn("_s2", s2)
+    d = d.withColumn(
+        "n_phones", F.regexp_count("_s2", F.lit(_Q56_PHONE)).cast("long")
+    ).withColumn("redacted", F.regexp_replace(F.col("_s2"), _Q56_PHONE, "<PHONE>"))
+    return d.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+        "redacted",
+    )
+
+
+_Q56_SQL = f"""
+WITH s0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_Q56_EMAIL}')) AS BIGINT)
+                AS n_emails,
+              regexp_replace(text, '{_Q56_EMAIL}', '<EMAIL>', 'g') AS t
+       FROM s0),
+s2 AS (SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(t, '{_Q56_IPV4}')) AS BIGINT)
+                AS n_ips,
+              regexp_replace(t, '{_Q56_IPV4}', '<IP>', 'g') AS t
+       FROM s1)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t, '{_Q56_PHONE}')) AS BIGINT) AS n_phones,
+       n_emails + n_ips
+         + CAST(len(regexp_extract_all(t, '{_Q56_PHONE}')) AS BIGINT) AS n_pii,
+       regexp_replace(t, '{_Q56_PHONE}', '<PHONE>', 'g') AS redacted
+FROM s2
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -3561,6 +3631,7 @@ QUERIES = {
     "q53_repetition_signals": q53_repetition_signals,
     "q54_sequence_packing": q54_sequence_packing,
     "q55_quality_heuristics": q55_quality_heuristics,
+    "q56_pii_redaction": q56_pii_redaction,
 }
 
 ORACLES = {
@@ -3615,6 +3686,7 @@ ORACLES = {
     "q53_repetition_signals": _Q53_SQL,
     "q54_sequence_packing": _Q54_SQL,
     "q55_quality_heuristics": _Q55_SQL,
+    "q56_pii_redaction": _Q56_SQL,
 }
 
 

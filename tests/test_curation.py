@@ -217,3 +217,61 @@ def test_quality_heuristics_shuffle_free_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pii_redaction_dual_engine_golden(spark):
+    """q56 planted-PII semantics, proven in BOTH engines: the Spark query
+    and the DuckDB oracle SQL run over the same planted docs and must
+    produce identical rows (the corpus-scale oracle only exercises the
+    no-PII path). Staged redaction: email -> ip -> phone."""
+    import tempfile
+
+    import duckdb
+
+    from real_time_anomaly_detection_spark.queries import (
+        _Q56_SQL, q56_pii_redaction)
+
+    rows = [
+        (1, "mail a.b+x@foo-bar.co or b@x.io now", "en", "s", 0),
+        (2, "call +1 (555) 123-4567 or 555 987 6543", "en", "s", 0),
+        (3, "host 10.0.255.7 and 192.168.1.1 up", "en", "s", 0),
+        (4, "bob@corp.com at 10.1.1.1 dials (555) 111-2222", "en", "s", 0),
+        (5, "no pii here at all", "en", "s", 0),
+        (6, None, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r for r in q56_pii_redaction(spark, d).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        oracle = {r[0]: r for r in con.execute(_Q56_SQL).fetchall()}
+    assert set(got) == set(oracle) == {1, 2, 3, 4, 5}
+    for i in got:
+        g = got[i]
+        assert (g.n_emails, g.n_ips, g.n_phones, g.n_pii, g.redacted) == \
+            tuple(oracle[i][1:]), (i, g, oracle[i])
+    assert got[1].n_emails == 2
+    assert got[1].redacted == "mail <EMAIL> or <EMAIL> now"
+    assert got[2].n_phones == 2
+    assert got[2].redacted == "call <PHONE> or <PHONE>"
+    assert got[3].n_ips == 2
+    assert got[3].redacted == "host <IP> and <IP> up"
+    assert got[4].n_pii == 3
+    assert got[4].redacted == "<EMAIL> at <IP> dials <PHONE>"
+    assert got[5].n_pii == 0 and got[5].redacted == "no pii here at all"
+
+
+def test_pii_redaction_shuffle_free_plan(spark, sf_dir):
+    from real_time_anomaly_detection_spark.queries import q56_pii_redaction
+
+    plan = (
+        q56_pii_redaction(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
