@@ -254,6 +254,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--trigger", default="600 seconds")
 
+    p = sub.add_parser("curate")
+    _add_common(p)
+    p.add_argument("--input", required=True,
+                   help="documents corpus: a directory containing "
+                        "documents.parquet (query-suite layout) or a "
+                        "parquet path")
+    p.add_argument("--out", required=True,
+                   help="output root: curated/ (survivors, text redacted) "
+                        "+ report/ (one-row audit)")
+    p.add_argument("--min-tokens", type=int, default=None,
+                   help="heuristic gate: minimum whitespace tokens")
+    p.add_argument("--top2-max", type=float, default=None,
+                   help="repetition gate: max top-2-gram token fraction")
+    p.add_argument("--dup2-max", type=float, default=None,
+                   help="repetition gate: max duplicate-2-gram occurrence "
+                        "fraction")
+
     p = sub.add_parser("dedup-apply")
     _add_common(p)
     p.add_argument("--pairs", required=True,
@@ -397,6 +414,20 @@ def main(argv: list[str] | None = None) -> None:
             train_planes=args.train_planes,
         )
         q.awaitTermination()
+        print(args.out)
+        return
+
+    if args.cmd == "curate":
+        from .operators.curation import curate_corpus
+
+        cand = os.path.join(args.input, "documents.parquet")
+        docs = spark.read.parquet(cand if os.path.exists(cand) else args.input)
+        curated, report = curate_corpus(
+            docs, top2_max=args.top2_max, dup2_max=args.dup2_max,
+            min_tokens=args.min_tokens,
+        )
+        curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
+        report.write.mode("overwrite").parquet(os.path.join(args.out, "report"))
         print(args.out)
         return
 

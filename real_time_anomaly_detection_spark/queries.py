@@ -3389,7 +3389,12 @@ _Q55_MWL_MIN = 3.0
 _Q55_MWL_MAX = 10.0
 _Q55_ALPHA_MIN = 0.8
 _Q55_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-_Q55_MIN_STOPWORDS = 2
+# Gopher's published floor is 2 DISTINCT stop-set members; this synthetic
+# vocabulary intersects the published set only at "the" (max distinct
+# present = 1 corpus-wide), so 2 would zero the keep set the same way the
+# published duplicate-5..10-gram cuts would zero q53's. Corpus-tuned to 1;
+# the stop SET itself stays the published one.
+_Q55_MIN_STOPWORDS = 1
 
 
 def q55_quality_heuristics(spark, sf_dir,
