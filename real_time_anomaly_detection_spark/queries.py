@@ -3553,6 +3553,99 @@ FROM s2
 """
 
 
+# q57: leakage-safe deterministic split — q45's hash split made near-dup
+# aware. A plain per-doc hash split puts ~19% of every near-dup cluster's
+# members in a different split from their duplicates (0.8*0.1*2 + 0.1*0.1*2
+# ... any cross-assignment), which is exactly the train->test leakage that
+# benchmark decontamination (q51) exists to catch after the fact. The fix
+# is assignment by CLUSTER: every member inherits the split of its q47
+# cluster id (the canonical keeper, = min doc_id); singletons hash their
+# own id — identical to q45 for them.
+def q57_leakage_safe_split(spark, sf_dir,
+                           n_bands: int | None = None,
+                           rows_per_band: int | None = None,
+                           threshold: float = 0.5,
+                           max_iters: int = 25):
+    """Cluster-consistent train/val/test rollup: (split, n_docs,
+    n_clustered, n_moved, mean_len) where n_moved counts docs whose own-id
+    hash would have landed them in a DIFFERENT split than their cluster's
+    — the leakage q45 would have created, now prevented.
+
+    Spark shape for 100 TB: one left join of the corpus metadata against
+    the q47 cluster relation (clustered docs only; at real 30-80% dup
+    rates that side is corpus-scale, so no broadcast hint — AQE picks the
+    join; the q48 gate precedent), then map-side md5 expressions and ONE
+    rollup agg. The cluster relation is the expensive input and is exactly
+    what `cluster-update` checkpoints per epoch — a pipeline reads the
+    label table instead of recomputing it (q50's materialized-input
+    pattern)."""
+    clusters = q47_neardup_clusters(
+        spark, sf_dir, n_bands=n_bands, rows_per_band=rows_per_band,
+        threshold=threshold, max_iters=max_iters,
+    ).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+    joined = docs.join(clusters, "doc_id", "left").withColumn(
+        "_anchor", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+
+    def _split(idcol):
+        h = F.conv(
+            F.substring(F.md5(idcol.cast("string")), 1, 15), 16, 10
+        ).cast("long") % 100
+        return (
+            F.when(h < 80, F.lit("train"))
+            .when(h < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = joined.select(
+        _split(F.col("_anchor")).alias("split"),
+        (_split(F.col("_anchor")) != _split(F.col("doc_id"))).alias("_moved"),
+        F.col("cluster_id").isNotNull().alias("_clustered"),
+        "_len",
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_clustered").cast("long")).alias("n_clustered"),
+        F.sum(F.col("_moved").cast("long")).alias("n_moved"),
+        _r6(F.avg("_len")).alias("mean_len"),
+    )
+
+
+_Q57_SQL = f"""
+WITH c AS ({_Q47_SQL}),
+a AS (
+  SELECT d.doc_id, len(d.text) AS _len,
+         COALESCE(c.cluster_id, d.doc_id) AS anchor,
+         (c.doc_id IS NOT NULL) AS clustered
+  FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id),
+s AS (
+  SELECT _len, clustered,
+         CASE
+           WHEN (CAST('0x' || substr(md5(CAST(anchor AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 80
+             THEN 'train'
+           WHEN (CAST('0x' || substr(md5(CAST(anchor AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 90
+             THEN 'val'
+           ELSE 'test' END AS split,
+         CASE
+           WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 80
+             THEN 'train'
+           WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100) < 90
+             THEN 'val'
+           ELSE 'test' END AS own_split
+  FROM a)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       CAST(sum(CASE WHEN split <> own_split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       round(avg(_len), 6) AS mean_len
+FROM s GROUP BY split
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -3637,6 +3730,9 @@ QUERIES = {
     "q54_sequence_packing": q54_sequence_packing,
     "q55_quality_heuristics": q55_quality_heuristics,
     "q56_pii_redaction": q56_pii_redaction,
+    "q57_leakage_safe_split": _pin_kwargs(
+        q57_leakage_safe_split, n_bands=_MH_BANDS, rows_per_band=2
+    ),
 }
 
 ORACLES = {
@@ -3692,6 +3788,7 @@ ORACLES = {
     "q54_sequence_packing": _Q54_SQL,
     "q55_quality_heuristics": _Q55_SQL,
     "q56_pii_redaction": _Q56_SQL,
+    "q57_leakage_safe_split": _Q57_SQL,
 }
 
 

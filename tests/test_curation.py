@@ -275,3 +275,41 @@ def test_pii_redaction_shuffle_free_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_leakage_safe_split_planted_cluster(spark):
+    """q57: two near-identical docs whose OWN-id hashes land in different
+    splits (doc 0 -> test, doc 1 -> train) must be assigned together to the
+    cluster anchor's split; the rollup reports the prevented leak."""
+    import tempfile
+
+    from real_time_anomaly_detection_spark.queries import q57_leakage_safe_split
+
+    dup = " ".join(f"tok{i:02d}" for i in range(20))
+    rows = [
+        (0, dup, "en", "s", len(dup)),          # own split: test (bucket 98)
+        (1, dup + " tail", "en", "s", 0),       # own split: train (bucket 48)
+        (3, " ".join(f"solo{i}" for i in range(15)), "en", "s", 0),  # loner
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r.split: r for r in q57_leakage_safe_split(spark, d).collect()}
+    assert out["test"].n_docs == 2           # both dups follow anchor doc 0
+    assert out["test"].n_clustered == 2
+    assert out["test"].n_moved == 1          # doc 1 was pulled out of train
+    assert out["train"].n_docs == 1 and out["train"].n_moved == 0
+
+
+def test_leakage_safe_split_totals_match_q45(spark, sf_dir):
+    """q57 assigns every document exactly once, and it prevents real
+    leakage on this corpus (n_moved > 0 — q45 would have split clusters)."""
+    from real_time_anomaly_detection_spark.queries import (
+        q45_hash_split, q57_leakage_safe_split)
+
+    q57 = q57_leakage_safe_split(spark, sf_dir).collect()
+    q45 = q45_hash_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in q57) == sum(r.n_docs for r in q45)
+    assert sum(r.n_moved for r in q57) > 0
