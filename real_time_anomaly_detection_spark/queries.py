@@ -3565,7 +3565,8 @@ def q57_leakage_safe_split(spark, sf_dir,
                            n_bands: int | None = None,
                            rows_per_band: int | None = None,
                            threshold: float = 0.5,
-                           max_iters: int = 25):
+                           max_iters: int = 25,
+                           clusters=None):
     """Cluster-consistent train/val/test rollup: (split, n_docs,
     n_clustered, n_moved, mean_len) where n_moved counts docs whose own-id
     hash would have landed them in a DIFFERENT split than their cluster's
@@ -3576,13 +3577,16 @@ def q57_leakage_safe_split(spark, sf_dir,
     rates that side is corpus-scale, so no broadcast hint — AQE picks the
     join; the q48 gate precedent), then map-side md5 expressions and ONE
     rollup agg. The cluster relation is the expensive input and is exactly
-    what `cluster-update` checkpoints per epoch — a pipeline reads the
-    label table instead of recomputing it (q50's materialized-input
-    pattern)."""
-    clusters = q47_neardup_clusters(
-        spark, sf_dir, n_bands=n_bands, rows_per_band=rows_per_band,
-        threshold=threshold, max_iters=max_iters,
-    ).select("doc_id", "cluster_id")
+    what `cluster-update` checkpoints per epoch — pass `clusters` (a
+    (doc_id, cluster_id) relation) to read the label table instead of
+    recomputing the whole dedup stack (q50's materialized-input pattern;
+    the bench times it that way)."""
+    if clusters is None:
+        clusters = q47_neardup_clusters(
+            spark, sf_dir, n_bands=n_bands, rows_per_band=rows_per_band,
+            threshold=threshold, max_iters=max_iters,
+        )
+    clusters = clusters.select("doc_id", "cluster_id")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("_len")
     )
