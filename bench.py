@@ -63,6 +63,8 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     q48_dedup_corpus,
     q49_embedding_clusters,
     q50_modality_reconciliation,
+    q57_leakage_safe_split,
+    q60_semantic_decontamination,
 )
 
 NEARDUP_BENCH_FNS = {
@@ -88,6 +90,17 @@ NEARDUP_BENCH_FNS = {
             text_clusters=s.read.parquet(_q50_cluster_paths(s, d)[0]),
             emb_clusters=s.read.parquet(_q50_cluster_paths(s, d)[1]),
         )
+    ),
+    # same materialized-input pattern: the cluster compute is q47's row
+    "q57_leakage_safe_split": (
+        lambda s, d: q57_leakage_safe_split(
+            s, d, clusters=s.read.parquet(_q50_cluster_paths(s, d)[0]),
+        )
+    ),
+    # production config like q42: threshold-derived banding at the
+    # corpus's planted-pair similarity regime, not the oracle's dense 6x2
+    "q60_semantic_decontamination": (
+        lambda s, d: q60_semantic_decontamination(s, d, threshold=0.9)
     ),
 }
 
@@ -147,8 +160,8 @@ def _force(df) -> int:
 
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     nd_dir = neardup_corpus_dir() if any(n in NEARDUP_QUERIES for n in names) else None
-    if "q50_modality_reconciliation" in names:
-        # materialize q50's cluster inputs OUTSIDE the timed region
+    if "q50_modality_reconciliation" in names or "q57_leakage_safe_split" in names:
+        # materialize the cluster inputs OUTSIDE the timed region
         _q50_cluster_paths(spark, nd_dir)
     out = {}
     for name in names:

@@ -17,6 +17,8 @@ rows-only check).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1686,11 +1688,13 @@ def q42_embedding_neardup_lsh(spark, sf_dir, max_bucket_size: int | None = None,
     )
 
 
-def _q42_sql() -> str:
+def _nd_band_rows_sql() -> str:
+    """The oracle-pinned 6x2 hyperplane band rows as DuckDB SQL over a CTE
+    `e(vec_id, emb)` — shared by the q42 and q60 twins."""
     planes = [
         "[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in _ND_PLANES
     ]
-    band_rows = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
         + " + ".join(
             f"{1 << j} * (CASE WHEN list_dot_product(emb, "
@@ -1700,6 +1704,10 @@ def _q42_sql() -> str:
         + " AS bucket FROM e"
         for b in range(_ND_BANDS)
     )
+
+
+def _q42_sql() -> str:
+    band_rows = _nd_band_rows_sql()
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 bands AS ({band_rows}),
@@ -3650,6 +3658,250 @@ FROM s GROUP BY split
 """
 
 
+# Corpus vocabulary statistics — the document-frequency table every
+# TF-IDF / stopword-discovery / tokenizer-training stage starts from.
+_VOCAB_TOKEN_RE = "[a-z]+"
+
+
+def q58_vocab_df_stats(spark, sf_dir, top_k: int = 100):
+    """Top-k vocabulary terms by document frequency: (term, df, cf,
+    df_frac) where df counts documents containing the term, cf counts
+    total occurrences, df_frac = df / corpus size. The high-df head IS
+    the corpus's empirical stopword list (q24/q55 consume a published
+    one; this op derives it from the data), and (df, cf) is the exact
+    input to IDF weighting and tokenizer-vocabulary selection.
+
+    Spark shape for 100 TB: tokenize scan-locally (regexp_extract_all —
+    identical pattern in the DuckDB twin, q41's parity convention),
+    explode, then TWO hash aggs: (doc_id, term) -> per-doc counts, then
+    (term) -> df/cf. Both get map-side partial aggregation for free, so
+    shuffle volume is per-partition-DISTINCT terms (vocabulary-scale),
+    never the raw token stream; corpus size is a single-row agg joined
+    by broadcast (the q36 anchor pattern); top-k is a
+    TakeOrderedAndProject with a deterministic (df desc, term asc)
+    tiebreak, never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0)
+    per_doc = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("cnt").alias("cf"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        stats.join(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "cf",
+            _r6(F.col("df") / F.col("_n_docs")).alias("df_frac"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+
+
+_Q58_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_VOCAB_TOKEN_RE}')) AS term
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+stats AS (
+  SELECT term, count(*) AS df, sum(cnt) AS cf FROM per_doc GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       round(df * 1.0 / (SELECT count(*) FROM documents), 6) AS df_frac
+FROM stats ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+def q59_unigram_logprob(spark, sf_dir):
+    """CCNet-class perplexity-proxy quality scoring, self-trained: a
+    unigram LM with add-one smoothing over the corpus's own token stream,
+    then per-document mean token log-probability and bits/token —
+    the score CCNet/RedPajama threshold on (there a 5-gram KenLM; the
+    unigram degenerates gracefully and needs no external model, which the
+    sandbox forbids anyway). Zero-token docs emit no row (they have no
+    tokens to score; q55's gates own that class).
+
+    Spark shape for 100 TB: the token stream collapses scan-locally to
+    per-doc (term, cnt) rows (map-side partial agg — vocabulary-per-doc
+    scale, never raw occurrences), the model is ONE more hash agg over
+    those rows plus a single-row totals agg (broadcast), and scoring is an
+    equi-join of per-doc counts against the model keyed on term. The model
+    is vocabulary-scale: usually broadcastable, but a web corpus's typo
+    tail can push it to billions of rows, so NO broadcast hint — AQE picks
+    (the q48/q57 gate precedent). Means are weighted by cnt so the join
+    input stays per-doc-distinct, never re-exploded occurrences."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0)
+    per_doc = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = per_doc.groupBy("term").agg(F.sum("cnt").alias("cf"))
+    totals = model.agg(
+        F.sum("cf").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = model.join(F.broadcast(totals)).select(
+        "term",
+        F.log((F.col("cf") + F.lit(1.0)) / (F.col("_t") + F.col("_v"))).alias(
+            "_lp"
+        ),
+    )
+    scored = (
+        per_doc.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (F.sum(F.col("cnt") * F.col("_lp")) / F.sum("cnt")).alias("_mlp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        _r6(F.col("_mlp")).alias("mean_logprob"),
+        _r6(-F.col("_mlp") / float(math.log(2.0))).alias("bits_per_token"),
+    )
+
+
+_Q59_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_VOCAB_TOKEN_RE}')) AS term
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+model AS (
+  SELECT term, sum(cnt) AS cf FROM per_doc GROUP BY term),
+totals AS (
+  SELECT sum(cf) AS t, count(*) AS v FROM model),
+lp AS (
+  SELECT term, ln((cf + 1.0) / (t + v)) AS lp FROM model, totals),
+scored AS (
+  SELECT doc_id, sum(cnt) AS n_tokens,
+         sum(cnt * lp) / sum(cnt) AS mlp
+  FROM per_doc JOIN lp USING (term) GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mlp, 6) AS mean_logprob,
+       round(-mlp / ln(2), 6) AS bits_per_token
+FROM scored
+"""
+
+
+def q60_semantic_decontamination(spark, sf_dir,
+                                 n_bands: int | None = None,
+                                 planes_per_band: int | None = None,
+                                 threshold: float = 0.45,
+                                 test_pct: int = 10,
+                                 max_bucket_size: int | None = None,
+                                 salt: int | None = None):
+    """SEMANTIC benchmark decontamination — q51's n-gram check catches
+    verbatim leakage; this catches paraphrased leakage: train-split vectors
+    whose embedding cosine to ANY test-split vector reaches `threshold`.
+    Output (train_vec, test_vec, cosine), one row per contaminated
+    cross-split pair. The split is q45's deterministic md5 bucket on the
+    OWN id (test = top `test_pct` buckets), so the op needs no split table.
+
+    Spark shape for 100 TB: identical to q42's banded-LSH machinery — band
+    rows once over ALL vectors (the split is a map-side function of the id,
+    so no split join and no second banding pass), ONE (band, bucket)
+    self-join for candidates, cross-split filter on id-derived expressions
+    BEFORE the wide embedding join, exact rounded-cosine verify on the
+    survivors. At scale the test split is `test_pct`% of the corpus, so the
+    cross-split filter drops ~(1-2p(1-p)) of candidates before any payload
+    moves; banding defaults derive from the threshold (`_banding_for`), the
+    registry pins the oracle's dense 6x2. Hot-bucket cap/salt knobs are
+    q42's, threaded through `_lsh_candidate_pairs`."""
+    n_bands, planes_per_band = _resolve_banding(
+        n_bands, planes_per_band, threshold, _cosine_row_prob
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    x = _persist(_nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id"))
+    cands = _lsh_candidate_pairs(x, max_bucket_size, salt)
+
+    def _is_test(idcol):
+        h = F.conv(
+            F.substring(F.md5(idcol.cast("string")), 1, 15), 16, 10
+        ).cast("long") % 100
+        return h >= 100 - test_pct
+
+    cross = cands.filter(
+        _is_test(F.col("doc_a")) != _is_test(F.col("doc_b"))
+    ).select(
+        F.when(_is_test(F.col("doc_b")), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_vec"),
+        F.when(_is_test(F.col("doc_a")), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("test_vec"),
+    )
+    ea = e.select(F.col("vec_id").alias("train_vec"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("test_vec"), F.col("emb").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        cross.join(ea, "train_vec")
+        .join(eb, "test_vec")
+        .withColumn("cosine", _r6(dot / (norm("ea") * norm("eb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("train_vec", "test_vec", "cosine")
+    )
+
+
+def _q60_sql() -> str:
+    split = (
+        "(CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT)"
+        " % 100) >= 90"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bands AS ({_nd_band_rows_sql()}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id),
+split AS (
+  SELECT vec_a, vec_b,
+         {split.format(id='vec_a')} AS test_a,
+         {split.format(id='vec_b')} AS test_b
+  FROM cands),
+oriented AS (
+  SELECT CASE WHEN test_b THEN vec_a ELSE vec_b END AS train_vec,
+         CASE WHEN test_a THEN vec_a ELSE vec_b END AS test_vec
+  FROM split WHERE test_a <> test_b)
+SELECT train_vec, test_vec,
+       round(list_dot_product(ea.emb, eb.emb) /
+             (sqrt(list_dot_product(ea.emb, ea.emb)) *
+              sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
+FROM oriented JOIN e ea ON oriented.train_vec = ea.vec_id
+              JOIN e eb ON oriented.test_vec = eb.vec_id
+WHERE round(list_dot_product(ea.emb, eb.emb) /
+            (sqrt(list_dot_product(ea.emb, ea.emb)) *
+             sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.45
+"""
+# ^ threshold on the ROUNDED cosine (the q39/q42 knife-edge convention);
+# the 90 in the split predicate is 100 - test_pct at the pinned
+# test_pct=10.
+
+
+_Q60_SQL = _q60_sql()
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -3737,6 +3989,12 @@ QUERIES = {
     "q57_leakage_safe_split": _pin_kwargs(
         q57_leakage_safe_split, n_bands=_MH_BANDS, rows_per_band=2
     ),
+    "q58_vocab_df_stats": q58_vocab_df_stats,
+    "q59_unigram_logprob": q59_unigram_logprob,
+    "q60_semantic_decontamination": _pin_kwargs(
+        q60_semantic_decontamination, n_bands=_ND_BANDS,
+        planes_per_band=_ND_PLANES_PER_BAND
+    ),
 }
 
 ORACLES = {
@@ -3793,6 +4051,9 @@ ORACLES = {
     "q55_quality_heuristics": _Q55_SQL,
     "q56_pii_redaction": _Q56_SQL,
     "q57_leakage_safe_split": _Q57_SQL,
+    "q58_vocab_df_stats": _Q58_SQL,
+    "q59_unigram_logprob": _Q59_SQL,
+    "q60_semantic_decontamination": _Q60_SQL,
 }
 
 
