@@ -3663,6 +3663,49 @@ FROM s GROUP BY split
 _VOCAB_TOKEN_RE = "[a-z]+"
 
 
+def _per_doc_term_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, term, cnt) — each document's distinct lowercase [a-z]+
+    terms with occurrence counts, computed SCAN-LOCALLY via mapInPandas
+    (Counter per doc in the Arrow batch, the q53 idiom).
+
+    Why not explode+groupBy(doc_id, term): every (doc_id, term) group
+    lives in exactly one scan partition, so the Catalyst formulation's
+    partial agg already produces final counts map-side — and then pays a
+    full Exchange of those per-doc-distinct (doc_id, term, cnt) rows
+    (roughly half the token stream with full term strings at web scale)
+    purely to satisfy the grouping contract. The scan-local pass emits
+    the identical relation with ZERO shuffle; downstream term-level aggs
+    (q58 df/cf, q59 model) then need only their own single
+    vocabulary-scale Exchange. Null / token-free texts emit nothing
+    (both engines' convention)."""
+    import re
+
+    rx = re.compile(_VOCAB_TOKEN_RE)
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, terms, cnts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or isinstance(text, float):
+                    continue
+                c = Counter(rx.findall(text.lower()))
+                ids.extend([doc_id] * len(c))
+                terms.extend(c.keys())
+                cnts.extend(c.values())
+            yield _pd.DataFrame(
+                {"doc_id": ids, "term": terms, "cnt": cnts},
+                columns=["doc_id", "term", "cnt"],
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, term string, cnt long"
+    )
+
+
 def q58_vocab_df_stats(spark, sf_dir, top_k: int = 100):
     """Top-k vocabulary terms by document frequency: (term, df, cf,
     df_frac) where df counts documents containing the term, cf counts
@@ -3671,22 +3714,15 @@ def q58_vocab_df_stats(spark, sf_dir, top_k: int = 100):
     one; this op derives it from the data), and (df, cf) is the exact
     input to IDF weighting and tokenizer-vocabulary selection.
 
-    Spark shape for 100 TB: tokenize scan-locally (regexp_extract_all —
-    identical pattern in the DuckDB twin, q41's parity convention),
-    explode, then TWO hash aggs: (doc_id, term) -> per-doc counts, then
-    (term) -> df/cf. Both get map-side partial aggregation for free, so
-    shuffle volume is per-partition-DISTINCT terms (vocabulary-scale),
-    never the raw token stream; corpus size is a single-row agg joined
-    by broadcast (the q36 anchor pattern); top-k is a
-    TakeOrderedAndProject with a deterministic (df desc, term asc)
-    tiebreak, never a global sort."""
+    Spark shape for 100 TB: per-doc term counts computed scan-locally
+    (`_per_doc_term_counts` — zero shuffle; the explode+groupBy twin
+    pays a corpus-scale Exchange of per-doc-distinct rows), then ONE
+    vocabulary-scale hash agg on term with map-side partial combine;
+    corpus size is a single-row agg joined by broadcast (the q36 anchor
+    pattern); top-k is a TakeOrderedAndProject with a deterministic
+    (df desc, term asc) tiebreak, never a global sort."""
     d = load(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0)
-    per_doc = (
-        d.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    per_doc = _per_doc_term_counts(d)
     stats = per_doc.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("cnt").alias("cf"),
@@ -3730,21 +3766,18 @@ def q59_unigram_logprob(spark, sf_dir):
     tokens to score; q55's gates own that class).
 
     Spark shape for 100 TB: the token stream collapses scan-locally to
-    per-doc (term, cnt) rows (map-side partial agg — vocabulary-per-doc
-    scale, never raw occurrences), the model is ONE more hash agg over
-    those rows plus a single-row totals agg (broadcast), and scoring is an
-    equi-join of per-doc counts against the model keyed on term. The model
-    is vocabulary-scale: usually broadcastable, but a web corpus's typo
-    tail can push it to billions of rows, so NO broadcast hint — AQE picks
-    (the q48/q57 gate precedent). Means are weighted by cnt so the join
-    input stays per-doc-distinct, never re-exploded occurrences."""
+    per-doc (term, cnt) rows (`_per_doc_term_counts` — ZERO shuffle, and
+    persisted: both the model agg and the scoring join read it, so the
+    tokenization scan runs once, not twice), the model is ONE hash agg
+    over those rows plus a single-row totals agg (broadcast), and scoring
+    is an equi-join of per-doc counts against the model keyed on term.
+    The model is vocabulary-scale: usually broadcastable, but a web
+    corpus's typo tail can push it to billions of rows, so NO broadcast
+    hint — AQE picks (the q48/q57 gate precedent). Means are weighted by
+    cnt so the join input stays per-doc-distinct, never re-exploded
+    occurrences."""
     d = load(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0)
-    per_doc = (
-        d.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    per_doc = _persist(_per_doc_term_counts(d))
     model = per_doc.groupBy("term").agg(F.sum("cnt").alias("cf"))
     totals = model.agg(
         F.sum("cf").alias("_t"), F.count(F.lit(1)).alias("_v")

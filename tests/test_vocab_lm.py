@@ -45,12 +45,15 @@ def test_q58_df_cf_golden(spark):
 
 def test_q58_topk_never_global_sorts(spark):
     """The top-k cut must plan as TakeOrderedAndProject, not a global
-    Sort — the vocabulary is corpus-scale at 100 TB."""
+    Sort — the vocabulary is corpus-scale at 100 TB — and the whole query
+    must carry exactly ONE hash Exchange (the vocabulary-scale term agg;
+    per-doc term counts are scan-local, never shuffled)."""
     from real_time_anomaly_detection_spark.queries import q58_vocab_df_stats
 
     plan = q58_vocab_df_stats(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [df" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_q59_logprob_golden(spark):
