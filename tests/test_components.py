@@ -288,3 +288,44 @@ def test_update_clusters_snapshot_retention(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="retain_snapshots"):
         C.update_clusters(spark, pairs_root, out, retain_snapshots=0)
+
+
+def test_string_id_clusters_and_update_flow(spark, tmp_path):
+    """STRING ids (audio clip_ids) through the whole cluster stack: both
+    batch algorithms agree with a Python union-find under lexicographic
+    min-labels, and update_clusters folds string-id pairs epochs — the
+    path `stream-dedup --modality audio` pairs take into cluster-update."""
+    import os
+
+    from real_time_anomaly_detection_spark.operators.components import (
+        connected_components,
+    )
+    from real_time_anomaly_detection_spark.streaming import clusters as C
+
+    # chain c1-c2-c10 (min 'c1' lexicographically) + island (z9, z10):
+    # 'z10' < 'z9' as STRINGS — catches any numeric-cast shortcut
+    e0 = [("c2", "c1"), ("c2", "c10")]
+    e1 = [("z9", "z10")]
+    for algo in ("star", "min_label"):
+        labels = {
+            r.doc_id: r.label
+            for r in connected_components(
+                spark.createDataFrame(e0 + e1, "doc_a string, doc_b string"),
+                algorithm=algo,
+            ).collect()
+        }
+        assert labels == {"c1": "c1", "c2": "c1", "c10": "c1",
+                          "z9": "z10", "z10": "z10"}, algo
+
+    pairs_root = str(tmp_path / "spairs")
+    out = str(tmp_path / "scl")
+    for e, rows in enumerate((e0, e1)):
+        spark.createDataFrame(
+            [(a, b, 1.0) for a, b in rows],
+            "doc_a string, doc_b string, similarity double",
+        ).write.parquet(os.path.join(pairs_root, f"epoch_id={e}"))
+    r = C.update_clusters(spark, pairs_root, out)
+    assert r["head"] == 1 and r["n_labels"] == 5
+    got = {x.doc_id: x.label for x in C.head_labels(spark, out).collect()}
+    assert got == {"c1": "c1", "c2": "c1", "c10": "c1",
+                   "z9": "z10", "z10": "z10"}
