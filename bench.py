@@ -74,7 +74,13 @@ NEARDUP_BENCH_FNS = {
         lambda s, d: q42_embedding_neardup_lsh(s, d, threshold=0.9)
     ),
     "q47_neardup_clusters": q47_neardup_clusters,            # derived @ 0.5
-    "q48_dedup_corpus": q48_dedup_corpus,                    # derived @ 0.5
+    # materialized-input pattern: q47's row times the cluster compute;
+    # q48's row times what dedup-apply adds — the gated anti-join
+    "q48_dedup_corpus": (
+        lambda s, d: q48_dedup_corpus(
+            s, d, clusters=s.read.parquet(_q50_cluster_paths(s, d)[0]),
+        )
+    ),
     "q49_embedding_clusters": (
         lambda s, d: q49_embedding_clusters(s, d, threshold=0.9)
     ),
@@ -160,7 +166,8 @@ def _force(df) -> int:
 
 def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     nd_dir = neardup_corpus_dir() if any(n in NEARDUP_QUERIES for n in names) else None
-    if "q50_modality_reconciliation" in names or "q57_leakage_safe_split" in names:
+    if {"q50_modality_reconciliation", "q57_leakage_safe_split",
+            "q48_dedup_corpus"} & set(names):
         # materialize the cluster inputs OUTSIDE the timed region
         _q50_cluster_paths(spark, nd_dir)
     out = {}

@@ -3198,11 +3198,16 @@ def q48_dedup_corpus(spark, sf_dir, max_bucket_size: int | None = None,
                      rows_per_band: int | None = None,
                      threshold: float = 0.5,
                      broadcast: bool | None = None,
-                     broadcast_max_rows: int | None = None):
+                     broadcast_max_rows: int | None = None,
+                     clusters=None):
     """The end-user dedup operation: the corpus AFTER near-dup removal —
     every document except non-keeper members of q47's clusters (each
     cluster survives exactly once, via its canonical min-doc_id keeper;
-    docs in no near-dup pair survive untouched).
+    docs in no near-dup pair survive untouched). Pass `clusters` (a
+    relation with doc_id + is_keeper, e.g. cluster-update's checkpointed
+    labels) to apply dedup without recomputing the cluster stack (q50's
+    materialized-input pattern; the bench times it that way — q47's own
+    row times the cluster compute).
 
     Spark shape: left_anti join of `documents` against the non-keeper doc
     ids, strategy gated on drop-set size via
@@ -3216,9 +3221,11 @@ def q48_dedup_corpus(spark, sf_dir, max_bucket_size: int | None = None,
     from .operators.components import drop_non_keepers
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    clusters = q47_neardup_clusters(
-        spark, sf_dir, max_bucket_size, salt, n_bands, rows_per_band, threshold
-    )
+    if clusters is None:
+        clusters = q47_neardup_clusters(
+            spark, sf_dir, max_bucket_size, salt, n_bands, rows_per_band,
+            threshold
+        )
     drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
     kw = {} if broadcast_max_rows is None else {"broadcast_max_rows": broadcast_max_rows}
     return drop_non_keepers(docs, drop, broadcast=broadcast, **kw)
