@@ -173,6 +173,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--max-clipping-ratio", type=float, default=0.01)
     p.add_argument("--max-silence-ratio", type=float, default=0.9)
 
+    p = sub.add_parser("segment")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="output root: segments/ (+ audio/ with --materialize)")
+    p.add_argument("--window-ms", type=int, default=30_000)
+    p.add_argument("--hop-ms", type=int, default=None,
+                   help="window start stride (default: window-ms, no overlap)")
+    p.add_argument("--min-tail-ms", type=int, default=2_000)
+    p.add_argument("--materialize", action="store_true",
+                   help="also decode and write the window payloads (pcm16)")
+
     p = sub.add_parser("pack-batches")
     _add_common(p)
     p.add_argument("--input", required=True, help="clips parquet dir")
@@ -576,6 +588,23 @@ def main(argv: list[str] | None = None) -> None:
             max_clipping_ratio=args.max_clipping_ratio,
             max_silence_ratio=args.max_silence_ratio,
         ).write.mode("overwrite").parquet(os.path.join(args.out, "filter"))
+        print(args.out)
+        return
+
+    if args.cmd == "segment":
+        from .operators import audio_segmentation as ASEG
+
+        clips = spark.read.parquet(args.input)
+        hop = args.hop_ms if args.hop_ms is not None else args.window_ms
+        ASEG.segment_plan(
+            clips, window_ms=args.window_ms, hop_ms=hop,
+            min_tail_ms=args.min_tail_ms,
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "segments"))
+        if args.materialize:
+            ASEG.segment_pcm(
+                clips, window_ms=args.window_ms, hop_ms=hop,
+                min_tail_ms=args.min_tail_ms,
+            ).write.mode("overwrite").parquet(os.path.join(args.out, "audio"))
         print(args.out)
         return
 
