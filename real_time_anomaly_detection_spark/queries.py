@@ -3847,7 +3847,11 @@ def q60_semantic_decontamination(spark, sf_dir,
     whose embedding cosine to ANY test-split vector reaches `threshold`.
     Output (train_vec, test_vec, cosine), one row per contaminated
     cross-split pair. The split is q45's deterministic md5 bucket on the
-    OWN id (test = top `test_pct` buckets), so the op needs no split table.
+    OWN id — train = bucket < 80 and test = top `test_pct` buckets,
+    exactly q51's split semantics so the two checks compose into one
+    report (q61); val-band docs (80..89) are in neither role: they are
+    not trained on, so they cannot contaminate the benchmark. The op
+    needs no split table.
 
     Spark shape for 100 TB: identical to q42's banded-LSH machinery — band
     rows once over ALL vectors (the split is a map-side function of the id,
@@ -3868,14 +3872,20 @@ def q60_semantic_decontamination(spark, sf_dir,
     x = _persist(_nd_bands_rows(e, n_bands, planes_per_band, id_col="vec_id"))
     cands = _lsh_candidate_pairs(x, max_bucket_size, salt)
 
-    def _is_test(idcol):
-        h = F.conv(
+    def _bucket(idcol):
+        return F.conv(
             F.substring(F.md5(idcol.cast("string")), 1, 15), 16, 10
         ).cast("long") % 100
-        return h >= 100 - test_pct
+
+    def _is_test(idcol):
+        return _bucket(idcol) >= 100 - test_pct
+
+    def _is_train(idcol):
+        return _bucket(idcol) < 80
 
     cross = cands.filter(
-        _is_test(F.col("doc_a")) != _is_test(F.col("doc_b"))
+        (_is_test(F.col("doc_a")) & _is_train(F.col("doc_b")))
+        | (_is_train(F.col("doc_a")) & _is_test(F.col("doc_b")))
     ).select(
         F.when(_is_test(F.col("doc_b")), F.col("doc_a"))
         .otherwise(F.col("doc_b"))
@@ -3904,9 +3914,9 @@ def q60_semantic_decontamination(spark, sf_dir,
 
 
 def _q60_sql() -> str:
-    split = (
+    bucket = (
         "(CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT)"
-        " % 100) >= 90"
+        " % 100)"
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -3917,13 +3927,16 @@ cands AS (
   WHERE a.vec_id < b.vec_id),
 split AS (
   SELECT vec_a, vec_b,
-         {split.format(id='vec_a')} AS test_a,
-         {split.format(id='vec_b')} AS test_b
+         {bucket.format(id='vec_a')} >= 90 AS test_a,
+         {bucket.format(id='vec_b')} >= 90 AS test_b,
+         {bucket.format(id='vec_a')} < 80 AS train_a,
+         {bucket.format(id='vec_b')} < 80 AS train_b
   FROM cands),
 oriented AS (
   SELECT CASE WHEN test_b THEN vec_a ELSE vec_b END AS train_vec,
          CASE WHEN test_a THEN vec_a ELSE vec_b END AS test_vec
-  FROM split WHERE test_a <> test_b)
+  FROM split
+  WHERE (test_a AND train_b) OR (train_a AND test_b))
 SELECT train_vec, test_vec,
        round(list_dot_product(ea.emb, eb.emb) /
              (sqrt(list_dot_product(ea.emb, ea.emb)) *
@@ -3935,11 +3948,88 @@ WHERE round(list_dot_product(ea.emb, eb.emb) /
              sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= 0.45
 """
 # ^ threshold on the ROUNDED cosine (the q39/q42 knife-edge convention);
-# the 90 in the split predicate is 100 - test_pct at the pinned
-# test_pct=10.
+# the 90 in the test predicate is 100 - test_pct at the pinned
+# test_pct=10, the 80 is q45/q51's train cut.
 
 
 _Q60_SQL = _q60_sql()
+
+
+def q61_decontamination_report(spark, sf_dir,
+                               n_bands: int | None = None,
+                               planes_per_band: int | None = None,
+                               threshold: float = 0.45,
+                               verbatim=None, semantic=None):
+    """The contamination adjudication table: per flagged train doc, the
+    VERBATIM evidence (q51's shared n-gram counts) and the SEMANTIC
+    evidence (q60's cross-split cosine pairs, aggregated per train
+    vector) side by side, with status = verbatim_only / semantic_only /
+    both — what a pipeline operator actually reviews before dropping
+    training docs (verbatim hits are drop-on-sight; semantic-only hits
+    get a threshold/policy decision). Ids join 1:1 across modality tables
+    (doc i <-> vec i), the q50 reconciliation convention.
+
+    Spark shape: both inputs are contamination-scale (never corpus-scale)
+    relations, so the full-outer join is a small shuffle regardless of
+    corpus size; absent sides are encoded 0 / -1.0 to keep the schema
+    null-free for byte-stable cross-engine comparison (q50's
+    convention).
+
+    ``verbatim`` / ``semantic``: optional PRECOMPUTED q51 / q60 result
+    relations (q48/q50/q57's materialized-input pattern) — a pipeline
+    checkpoints both checks and the adjudication report joins the tables;
+    the bench times it that way, with each check timed in its own row."""
+    v = (
+        verbatim if verbatim is not None
+        else q51_decontamination(spark, sf_dir)
+    )
+    s = (
+        (
+            semantic if semantic is not None
+            else q60_semantic_decontamination(
+                spark, sf_dir, n_bands=n_bands,
+                planes_per_band=planes_per_band, threshold=threshold,
+            )
+        )
+        .groupBy(F.col("train_vec").alias("_vid"))
+        .agg(
+            F.count(F.lit(1)).alias("_n_sem"),
+            F.max("cosine").alias("_mx"),
+        )
+    )
+    j = v.join(s, v.doc_id == s._vid, "full_outer")
+    return j.select(
+        F.coalesce(v.doc_id, s._vid).alias("doc_id"),
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+        F.coalesce("_n_sem", F.lit(0)).alias("n_sem_pairs"),
+        F.coalesce("_mx", F.lit(-1.0)).alias("max_cosine"),
+        F.when(
+            v.doc_id.isNotNull() & s._vid.isNotNull(), F.lit("both")
+        )
+        .when(v.doc_id.isNotNull(), F.lit("verbatim_only"))
+        .otherwise(F.lit("semantic_only"))
+        .alias("status"),
+    )
+
+
+_Q61_SQL = f"""
+WITH v AS ({_Q51_SQL}),
+s0 AS ({_Q60_SQL}),
+s AS (
+  SELECT train_vec, CAST(count(*) AS BIGINT) AS n_sem_pairs,
+         max(cosine) AS max_cosine
+  FROM s0 GROUP BY train_vec)
+SELECT COALESCE(v.doc_id, s.train_vec) AS doc_id,
+       CAST(COALESCE(v.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CAST(COALESCE(v.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       CAST(COALESCE(s.n_sem_pairs, 0) AS BIGINT) AS n_sem_pairs,
+       COALESCE(s.max_cosine, -1.0) AS max_cosine,
+       CASE WHEN v.doc_id IS NOT NULL AND s.train_vec IS NOT NULL THEN 'both'
+            WHEN v.doc_id IS NOT NULL THEN 'verbatim_only'
+            ELSE 'semantic_only' END AS status
+FROM v FULL OUTER JOIN s ON v.doc_id = s.train_vec
+"""
 
 
 def _pin_kwargs(fn, **kw):
@@ -4035,6 +4125,10 @@ QUERIES = {
         q60_semantic_decontamination, n_bands=_ND_BANDS,
         planes_per_band=_ND_PLANES_PER_BAND
     ),
+    "q61_decontamination_report": _pin_kwargs(
+        q61_decontamination_report, n_bands=_ND_BANDS,
+        planes_per_band=_ND_PLANES_PER_BAND
+    ),
 }
 
 ORACLES = {
@@ -4094,6 +4188,7 @@ ORACLES = {
     "q58_vocab_df_stats": _Q58_SQL,
     "q59_unigram_logprob": _Q59_SQL,
     "q60_semantic_decontamination": _Q60_SQL,
+    "q61_decontamination_report": _Q61_SQL,
 }
 
 

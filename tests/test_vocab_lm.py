@@ -115,8 +115,9 @@ def test_q60_flags_cross_split_pair_only(spark):
 
 
 def test_q60_orientation_on_real_corpus(spark):
-    """Every reported train_vec hashes below the test cut and every
-    test_vec at-or-above it — the orientation can never flip."""
+    """Every reported train_vec hashes below the TRAIN cut (q45/q51's
+    < 80 — val-band docs are in neither role) and every test_vec
+    at-or-above the test cut — the orientation can never flip."""
     from real_time_anomaly_detection_spark.queries import (
         q60_semantic_decontamination,
     )
@@ -129,7 +130,45 @@ def test_q60_orientation_on_real_corpus(spark):
     # sf0.01: the smallest corpus whose near-dup plants straddle the split
     out = q60_semantic_decontamination(spark, "/root/testdata/sf0.01")
     bad = out.filter(
-        (bucket("train_vec") >= 90) | (bucket("test_vec") < 90)
+        (bucket("train_vec") >= 80) | (bucket("test_vec") < 90)
     ).count()
     assert bad == 0
     assert out.count() > 0, "synthetic corpus plants cross-split near-dups"
+
+
+def test_q61_statuses_golden(spark):
+    """Planted corpus exercising all three adjudication statuses: doc 1
+    contaminates both ways (shared 8-gram AND near-identical embedding to
+    the test doc), doc 2 only verbatim, doc 3 only semantic."""
+    import tempfile
+
+    from real_time_anomaly_detection_spark.queries import (
+        q61_decontamination_report,
+    )
+
+    # md5 buckets: 0 -> 98 (test), 1 -> 48, 2 -> 66, 3 -> 23 (train)
+    docs = [
+        (0, "z a b c d e f g h i", "en", "s", 19),   # test/benchmark doc
+        (1, "a b c d e f g h i j", "en", "s", 19),   # shares 8-grams with 0
+        (2, "a b c d e f g h q2 q3", "en", "s", 20), # shares 'a b c d e f g h'
+        (3, "u v w x y zz q4 q5 q6 q7", "en", "s", 24),  # no shared gram
+    ]
+    embs = [
+        (0, _emb(7), 1),   # test vector
+        (1, _emb(7), 1),   # near-identical to 0 -> semantic pair
+        (2, _emb(13), 1),  # unrelated
+        (3, _emb(7), 1),   # near-identical to 0 -> semantic pair
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, docs, d)
+        spark.createDataFrame(
+            embs, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        out = {r.doc_id: r for r in
+               q61_decontamination_report(spark, d).collect()}
+    assert {k: v.status for k, v in out.items()} == {
+        1: "both", 2: "verbatim_only", 3: "semantic_only"}
+    assert out[1].n_sem_pairs == 1 and out[1].max_cosine == pytest.approx(1.0)
+    assert out[2].n_sem_pairs == 0 and out[2].max_cosine == -1.0
+    assert out[3].n_shared_grams == 0 and out[3].n_bench_docs == 0
+    assert out[1].n_shared_grams >= 1 and out[2].n_shared_grams >= 1
