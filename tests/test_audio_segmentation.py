@@ -113,3 +113,51 @@ def test_plan_never_reads_bytes(spark, tmp_path):
     assert "bytes" not in plan.split("ReadSchema")[1].split("\n")[0]
     assert "Exchange" not in plan
     assert df.count() == 3  # 2 full 30s windows + 5s tail
+
+
+def test_segments_compose_with_audio_neardup(spark):
+    """The pipeline story: a trimmed re-upload whose duration differs from
+    its source is invisible to the WHOLE-clip fingerprint join (the
+    duration key correctly separates them), but after fixed-window
+    segmentation the shared grid-aligned window is an exact segment-level
+    near-dup — materialized segments slot straight into the
+    audio_fingerprint pipeline as a clips table."""
+    from real_time_anomaly_detection_spark.operators import (
+        audio_fingerprint as AFP,
+    )
+
+    sr = 16000
+    t = np.arange(sr * 6) / sr
+    x = (
+        0.6 * np.sin(2 * np.pi * 440 * t)
+        + 0.3 * np.sin(2 * np.pi * 1300 * t)
+        + 0.15 * np.sin(2 * np.pi * 2500 * t)
+        # slow AM so different windows are spectrally distinct
+        * (1.0 + 0.5 * np.sin(2 * np.pi * 0.2 * t))
+    )
+    clips = spark.createDataFrame(
+        [
+            (0, "full", codecs.pcm16_encode(x), sr, 6000, "pcm16"),
+            # the [2s, 4s) excerpt, gain-changed
+            (0, "trim", codecs.pcm16_encode(0.7 * x[2 * sr:4 * sr]), sr,
+             2000, "pcm16"),
+        ],
+        "part_id int, clip_id string, bytes binary, sr_hz long, "
+        "dur_ms long, codec string",
+    )
+    whole = AFP.neardup_pairs(AFP.fingerprints(clips)).collect()
+    assert whole == []  # 6 s vs 2 s: duration-keyed join keeps them apart
+
+    segs = ASEG.segment_pcm(clips, window_ms=2000, hop_ms=2000,
+                            min_tail_ms=500)
+    seg_clips = segs.select(
+        F.lit(0).alias("part_id"),
+        F.concat_ws(":", "clip_id", F.col("seg_idx").cast("string"))
+        .alias("clip_id"),
+        "bytes", "sr_hz", "codec",
+    )
+    pairs = {
+        frozenset((r.clip_a, r.clip_b))
+        for r in AFP.neardup_pairs(AFP.fingerprints(seg_clips)).collect()
+    }
+    assert frozenset(("full:1", "trim:0")) in pairs
