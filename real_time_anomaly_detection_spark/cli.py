@@ -172,6 +172,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-rms-db", type=float, default=-50.0)
     p.add_argument("--max-clipping-ratio", type=float, default=0.01)
     p.add_argument("--max-silence-ratio", type=float, default=0.9)
+    p.add_argument("--drift-baseline", default=None,
+                   help="features/ parquet of a reference run: also write "
+                        "drift/ verdicts of the feature distributions "
+                        "against it (capture-chain regression check)")
 
     p = sub.add_parser("segment")
     _add_common(p)
@@ -588,6 +592,11 @@ def main(argv: list[str] | None = None) -> None:
             max_clipping_ratio=args.max_clipping_ratio,
             max_silence_ratio=args.max_silence_ratio,
         ).write.mode("overwrite").parquet(os.path.join(args.out, "filter"))
+        if args.drift_baseline:
+            AF.feature_drift(
+                spark.read.parquet(os.path.join(args.out, "features")),
+                spark.read.parquet(args.drift_baseline),
+            ).write.mode("overwrite").parquet(os.path.join(args.out, "drift"))
         print(args.out)
         return
 

@@ -140,3 +140,51 @@ def quality_filter(
         "part_id", "clip_id", reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+DRIFT_COLUMNS = ("rms_db", "silence_ratio", "clipping_ratio", "zcr")
+
+
+def _finite_features(features: DataFrame,
+                     columns: tuple[str, ...]) -> DataFrame:
+    """Null out non-finite feature values per column (rms_db is -inf for
+    empty clips; a histogram cannot bin infinities) — per-COLUMN nulling,
+    not row drops, so a clip with one degenerate feature still counts in
+    every other column's distribution."""
+    keep = [c for c in features.columns if c not in columns]
+    exprs = [
+        F.when(
+            F.col(c).isNotNull()
+            & ~F.isnan(F.col(c))
+            & (F.abs(F.col(c)) != float("inf")),
+            F.col(c),
+        ).alias(c)
+        for c in columns
+    ]
+    return features.select(*keep, *exprs)
+
+
+def feature_drift(features: DataFrame, baseline_features: DataFrame,
+                  columns: tuple[str, ...] = DRIFT_COLUMNS,
+                  part_col: str = "part_id",
+                  n_bins: int | None = None):
+    """Distribution drift of the AUDIO FEATURE columns against a reference
+    features snapshot — the capture-chain regression detector: a new
+    encoder that clips, a gain change, or a VAD regression shifts the
+    rms/clipping/silence distributions long before any schema or SNR check
+    fails. Pure composition: `drift.make_baseline` over the baseline
+    features table (feature tables are clip-metadata-scale, so the baseline
+    probe is cheap) + `drift.drift_verdicts` on the current one — ONE
+    groupBy(part_col) hash agg, O(n_bins + sketch) state per (partition,
+    column), the same scale shape as the dur_ms/sr_hz drift family.
+    Undecodable rows' null features and -inf rms_db are nulled per column
+    (never row-dropped) before both sides."""
+    from . import drift as _drift
+
+    kw = {} if n_bins is None else {"n_bins": n_bins}
+    rows = _drift.make_baseline(
+        _finite_features(baseline_features, columns), columns=columns, **kw
+    )
+    return _drift.drift_verdicts(
+        _finite_features(features, columns), rows, part_col=part_col
+    )

@@ -76,7 +76,15 @@ def make_baseline(
             )
         lo = float(ranges[f"{c}__min"])
         hi = float(ranges[f"{c}__max"])
-        width = (hi - lo) / n_bins if hi > lo else 1.0
+        # degenerate range (constant column, e.g. an all-zero
+        # clipping_ratio baseline): a wide fallback width would clamp EVERY
+        # observed value into bin 0 alongside the constant and make drift
+        # invisible; a hair-width bin keeps float-noise "equal" values in
+        # bin 0 while any real departure clamps into the last bin, where
+        # PSI/KS see it
+        width = (
+            (hi - lo) / n_bins if hi > lo else max(abs(lo) * 1e-9, 1e-12)
+        )
         edges[c] = (lo, hi, width)
     # histogram via conditional sums folded into one agg per column, expressed
     # compactly: count per bin with a groupBy on the bin id would shuffle; a
@@ -101,6 +109,12 @@ def make_baseline(
                 "column_name": c,
                 "bin_lo": [lo + i * width for i in range(n_bins)],
                 "bin_hi": [lo + (i + 1) * width for i in range(n_bins)],
+                # the EXACT float the histogram above binned with: verdicts
+                # must floor() with this same value — reconstructing it as
+                # bin_hi[0]-bin_lo[0] is off by an ulp, which flips the bin
+                # of any value sitting exactly on a boundary (discrete
+                # feature columns hit this constantly)
+                "bin_width": width,
                 "bin_frac": [cnt / n for cnt in counts],
                 "quantile_p": list(_QGRID),
                 "quantile_v": [float(v) for v in ranges[f"{c}__q"]],
@@ -136,7 +150,14 @@ def drift_verdicts(
         c = row["column_name"]
         n_bins = len(row["bin_frac"])
         lo = row["bin_lo"][0]
-        width = row["bin_hi"][0] - row["bin_lo"][0]
+        # prefer the stored exact width (see make_baseline); the difference
+        # reconstruction is the documented fallback for pre-bin_width
+        # snapshots and is 1-ulp inexact on boundary values
+        width = (
+            row["bin_width"]
+            if "bin_width" in row and row["bin_width"]  # dict OR Row input
+            else row["bin_hi"][0] - row["bin_lo"][0]
+        )
         b = _bin_expr(c, lo, width, n_bins)
         aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
         aggs.append(

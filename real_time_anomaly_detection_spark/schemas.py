@@ -38,6 +38,9 @@ BASELINE_SNAPSHOT = T.StructType(
         T.StructField("column_name", T.StringType(), False),
         T.StructField("bin_lo", T.ArrayType(T.DoubleType()), False),
         T.StructField("bin_hi", T.ArrayType(T.DoubleType()), False),
+        # exact histogram bin width (nullable: pre-bin_width snapshots fall
+        # back to bin_hi[0]-bin_lo[0], 1-ulp inexact on boundary values)
+        T.StructField("bin_width", T.DoubleType(), True),
         T.StructField("bin_frac", T.ArrayType(T.DoubleType()), False),
         T.StructField("quantile_p", T.ArrayType(T.DoubleType()), False),
         T.StructField("quantile_v", T.ArrayType(T.DoubleType()), False),

@@ -98,3 +98,53 @@ def test_features_payload_never_shuffled(spark):
     feats = AF.extract_features(spark.createDataFrame(cfg_pdf))
     plan = feats._jdf.queryExecution().toString()
     assert "Exchange" not in plan
+
+
+def _feature_clips(spark, rng_amp, n=40, clipped=False, start=0):
+    # feature values depend on i//2 only, so BOTH part_id = i % 2
+    # partitions carry the identical value multiset — per-partition
+    # verdicts against the pooled baseline are then drift-free by
+    # construction on the clean side
+    rows = []
+    for i in range(n):
+        amp = rng_amp(i)
+        x = _sine(amp=amp, f=440 + 40 * ((i // 2) % 13), sec=0.25)
+        if clipped:
+            x = np.clip(x * 8.0, -0.9995, 0.9995)
+        rows.append((i % 2, f"c{start + i}", codecs.pcm16_encode(x),
+                     SR, "pcm16"))
+    return spark.createDataFrame(
+        rows, "part_id int, clip_id string, bytes binary, sr_hz long, "
+              "codec string")
+
+
+def test_feature_drift_pass_and_fail(spark):
+    """Identical feature distributions pass; a capture-chain regression
+    (hard clipping) fails at least the clipping_ratio column. A silent
+    clip's -inf rms_db is nulled per column, never row-dropped or raised."""
+    amp = lambda i: 0.2 + 0.01 * ((i // 2) % 7)  # noqa: E731
+
+    base = AF.extract_features(_feature_clips(spark, amp))
+    same = AF.extract_features(_feature_clips(spark, amp, start=100))
+    ok = AF.feature_drift(same, base).collect()
+    assert ok and all(r.status == "pass" for r in ok)
+    assert {r.constraint for r in ok} == {
+        f"drift:{c}" for c in AF.DRIFT_COLUMNS}
+
+    bad = AF.extract_features(_feature_clips(spark, amp, clipped=True))
+    verdicts = {(r.part_id, r.constraint): r.status
+                for r in AF.feature_drift(bad, base).collect()}
+    assert all(
+        verdicts[(p, "drift:clipping_ratio")] == "fail" for p in (0, 1))
+
+    # a silent clip (rms_db = -inf) on the observed side must not raise
+    # and must still contribute to the OTHER columns' counts
+    silent = spark.createDataFrame(
+        [(0, "s", codecs.pcm16_encode(np.zeros(SR // 4)), SR, "pcm16")],
+        "part_id int, clip_id string, bytes binary, sr_hz long, codec string")
+    with_silent = AF.extract_features(
+        _feature_clips(spark, amp, start=200).unionByName(silent))
+    out = AF.feature_drift(with_silent, base).collect()
+    n = {(r.part_id, r.constraint): r.metrics["n_nonnull"] for r in out}
+    assert n[(0, "drift:rms_db")] == 20.0      # silent clip nulled out
+    assert n[(0, "drift:silence_ratio")] == 21.0  # but counted elsewhere
