@@ -161,3 +161,30 @@ def test_segments_compose_with_audio_neardup(spark):
         for r in AFP.neardup_pairs(AFP.fingerprints(seg_clips)).collect()
     }
     assert frozenset(("full:1", "trim:0")) in pairs
+
+
+def test_segments_compose_with_pack_batches(spark):
+    """The window table is pack-batches' natural input: segment windows
+    (seg_ms as the duration, composite clip_id:seg_idx id) pack into
+    budget-respecting batches with every segment assigned exactly once —
+    the segment -> pack pipeline is metadata end-to-end."""
+    from real_time_anomaly_detection_spark.operators import audio_packing as AP
+
+    durs = [(0, f"c{i}", 3_000 + 997 * i) for i in range(30)]
+    clips = spark.createDataFrame(
+        durs, "part_id int, clip_id string, dur_ms long")
+    segs = ASEG.segment_plan(clips, window_ms=10_000, hop_ms=10_000,
+                             min_tail_ms=1_000)
+    as_clips = segs.select(
+        F.concat_ws(":", "clip_id", F.col("seg_idx").cast("string"))
+        .alias("clip_id"),
+        F.col("seg_ms").alias("dur_ms"),
+    )
+    n_segs = as_clips.count()
+    asg = AP.pack_batches(as_clips, budget_s=30.0, n_shards=2)
+    rows = asg.collect()
+    assert len(rows) == n_segs  # every window assigned exactly once
+    assert len({r.clip_id for r in rows}) == n_segs
+    stats = AP.batch_stats(asg, budget_s=30.0).collect()
+    # windows are <= 10 s and the budget 30 s: no batch may overflow
+    assert all(r.total_dur_ms <= 30_000 for r in stats)
