@@ -103,6 +103,101 @@ print("RESULT " + json.dumps({"cores": cores, "sec": total, "per_query": med,
 """
 
 
+_CHILD_VOCAB = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RTAD_REPO"])
+from real_time_anomaly_detection_spark.caching import release_cached
+from real_time_anomaly_detection_spark.queries import (
+    q58_vocab_df_stats, q59_unigram_logprob)
+from real_time_anomaly_detection_spark.session import get_spark
+
+cores = int(os.environ["RTAD_CORES"])
+sf_dir = os.environ["RTAD_SF_DIR"]
+spark = get_spark(f"rtad-vocabscaling-{cores}", cores=cores,
+                  shuffle_partitions=max(cores, 8))
+QS = {"q58": q58_vocab_df_stats, "q59": q59_unigram_logprob}
+n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+def run_once():
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(2)
+    per = {}
+    for name, fn in QS.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per[name] = time.perf_counter() - t0
+        release_cached()  # q59 persists its shared per-doc relation
+    return per
+
+run_once()  # warm-up
+runs = [run_once() for _ in range(3)]
+med = {k: sorted(r[k] for r in runs)[1] for k in QS}
+total = sum(med.values())
+print("RESULT " + json.dumps({"cores": cores, "sec": total, "per_query": med,
+                              "n_docs": n_docs, "docs_per_sec": n_docs / total}))
+"""
+
+
+def main_vocab(args, lo: int, hi: int) -> None:
+    """Scaling evidence for the corpus-statistics family (q58 vocabulary DF
+    stats, q59 self-trained unigram-LM scoring): the token-stream ops whose
+    scale design is 'collapse scan-locally, shuffle only vocabulary-scale
+    rows'. APPENDS to the report. Corpus: the 200k-doc realistic-density
+    table the near-dup pair uses (RTAD_SF_DIR overrides)."""
+    if "RTAD_SF_DIR" not in os.environ:
+        cached = os.path.join(REPO, ".cache", "neardup_scaling_200000_80000")
+        if os.path.isdir(cached):
+            os.environ["RTAD_SF_DIR"] = cached
+        else:
+            sys.path.insert(0, REPO)
+            import bench
+
+            os.environ["RTAD_SF_DIR"] = bench.neardup_corpus_dir()
+    corpus = os.environ["RTAD_SF_DIR"]
+    ceiling = measure_ceiling(lo, hi)
+    mem_ceiling = measure_mem_ceiling(lo, hi)
+    r_lo = run_level(lo, 0, child=_CHILD_VOCAB)
+    r_hi = run_level(hi, 0, child=_CHILD_VOCAB)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    per_eff = {
+        k: round((r_lo["per_query"][k] / r_hi["per_query"][k]) / (hi / lo), 3)
+        for k in r_lo["per_query"]
+    }
+    print(json.dumps({"N": r_lo, "4N": r_hi, "efficiency": round(eff, 3),
+                      "per_query_efficiency": per_eff,
+                      "cpu_ceiling": round(ceiling["ceiling"], 3),
+                      "mem_ceiling": round(mem_ceiling, 3)}))
+
+    def row(r):
+        per = ", ".join(f"{k} {v:.1f}s" for k, v in r["per_query"].items())
+        return (f"| local[{r['cores']}] | {r['sec']:.2f} | {per} | "
+                f"{r['docs_per_sec']:.1f} |")
+
+    with open(args.out, "a") as f:
+        f.write(f"""
+## Vocabulary/LM family pair: local[{lo}] -> local[{hi}] (r6)
+
+Same protocol (separate processes, warm-up + median of 3, cache cleared +
+driver GC before every timed run) on the corpus-statistics family: q58
+(vocabulary document-frequency table) and q59 (self-trained unigram-LM
+perplexity proxy), over `{corpus}` ({r_lo['n_docs']} documents). Scale
+design under test: per-doc term counts collapse SCAN-LOCALLY (mapInPandas,
+zero shuffle); only vocabulary-scale (term, ...) rows ever reach an
+Exchange, so the jobs should scale like map-side work despite being
+token-stream computations.
+
+| parallelism | wall sec (median, 2 queries) | per-query medians | docs/sec |
+| --- | --- | --- | --- |
+{row(r_lo)}
+{row(r_hi)}
+
+**Vocabulary/LM scaling efficiency = {eff:.3f}** (per query: {per_eff}).
+Ceilings for this pair on this box: pure-CPU {ceiling['ceiling']:.3f},
+memory-bandwidth {mem_ceiling:.3f}.
+""")
+
+
 _CHILD_AUDIO = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["RTAD_REPO"])
@@ -324,7 +419,8 @@ def main() -> None:
     ap.add_argument("--clips", type=int, default=40000)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
-    ap.add_argument("--mode", choices=["validate", "neardup", "audio"],
+    ap.add_argument("--mode", choices=["validate", "neardup", "audio",
+                                       "vocab"],
                     default="validate")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.cores.split(","))
@@ -335,6 +431,9 @@ def main() -> None:
     if args.mode == "audio":
         main_audio(args, lo, hi)
         return
+    if args.mode == "vocab":
+        main_vocab(args, lo, hi)
+        return
 
     # preserve manually-appended / neardup-mode sections across a validate
     # rewrite: everything from the first secondary '## ' heading onward
@@ -343,7 +442,8 @@ def main() -> None:
         prev = open(args.out).read()
         for marker in ("\n## Corroborating pair", "\n## Secondary pair",
                        "\n## What changed", "\n## Near-dup family pair",
-                       "\n## Audio near-dup pair"):
+                       "\n## Audio near-dup pair",
+                       "\n## Vocabulary/LM family pair"):
             i = prev.find(marker)
             if i >= 0:
                 tail = prev[i:]

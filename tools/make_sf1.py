@@ -32,6 +32,13 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 SHIFT = 10_000_000
+# Write MANY row groups: a single-row-group parquet file is unsplittable —
+# Spark's maxPartitionBytes splits land on row-group boundaries, so one
+# group means ONE scan task regardless of cores, serializing every
+# scan-local (mapInPandas) stage. A real web-scale table has millions of
+# files; small row groups are the local-bench stand-in for that layout
+# (measured: q58/q59 scaling 0.27 -> ~ceiling once the corpus splits).
+ROW_GROUP = 8_192
 
 
 def _replicate(name: str, out_dir: str, key_cols: dict[str, int]) -> None:
@@ -48,7 +55,8 @@ def _replicate(name: str, out_dir: str, key_cols: dict[str, int]) -> None:
                 )
             cols[c] = arr
         parts.append(pa.table(cols))
-    pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet")
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/{name}.parquet",
+                   row_group_size=ROW_GROUP * 8)
 
 
 def make_documents(out_dir: str, n_docs: int = 50_000,
@@ -87,7 +95,7 @@ def make_documents(out_dir: str, n_docs: int = 50_000,
             "n_chars": pa.array([len(s) for s in rows_txt], pa.int64()),
         }
     )
-    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+    pq.write_table(tbl, f"{out_dir}/documents.parquet", row_group_size=ROW_GROUP)
 
 
 def make_embeddings(out_dir: str, n_vecs: int = 20_000, dim: int = 64,
@@ -113,7 +121,7 @@ def make_embeddings(out_dir: str, n_vecs: int = 20_000, dim: int = 64,
             "label": pa.array(labels, pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet", row_group_size=ROW_GROUP)
 
 
 def main() -> None:
