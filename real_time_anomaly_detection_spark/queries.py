@@ -4032,6 +4032,77 @@ FROM v FULL OUTER JOIN s ON v.doc_id = s.train_vec
 """
 
 
+def q62_tfidf_keywords(spark, sf_dir, top_k: int = 3):
+    """Per-document TF-IDF keywords: the top-k most characteristic terms
+    of each document — the standard corpus-exploration / weak-labeling /
+    topic-seeding primitive. tf = cnt / doc_len, idf = ln(n_docs / df),
+    deterministic (tfidf desc, term asc) tiebreak; docs with no [a-z]+
+    token emit nothing.
+
+    Spark shape for 100 TB: the scan-local per-doc counts
+    (`_per_doc_term_counts`, persisted — the DF agg and the scoring pass
+    both read it, one tokenization scan total) feed a vocabulary-scale DF
+    agg (q58's shuffle) joined back WITHOUT a broadcast hint (typo-tail
+    vocabularies — the q59 note; AQE picks). Doc length and the top-k
+    rank are BOTH doc-keyed window functions, so they share ONE Exchange
+    (sum over the unordered partition, then row_number over the sorted
+    one — Catalyst reuses the partitioning); no separate doc-length
+    agg+join ever touches the corpus-scale relation. Per-doc groups are
+    vocabulary-per-doc-sized, so in-partition rank-k is cheap."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = _persist(_per_doc_term_counts(d))
+    df_tbl = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    by_doc = W.partitionBy("doc_id")
+    scored = (
+        per_doc.join(df_tbl, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "_tfidf",
+            (F.col("cnt") / F.sum("cnt").over(by_doc))
+            * F.log(F.col("_n_docs") / F.col("_df")),
+        )
+    )
+    w = by_doc.orderBy(F.col("_tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            _r6(F.col("_tfidf")).alias("tfidf"),
+        )
+    )
+
+
+_Q62_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_VOCAB_TOKEN_RE}')) AS term
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+doc_len AS (
+  SELECT doc_id, sum(cnt) AS len FROM per_doc GROUP BY doc_id),
+df_tbl AS (
+  SELECT term, count(*) AS df FROM per_doc GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (p.cnt * 1.0 / l.len) *
+         ln((SELECT count(*) FROM documents) * 1.0 / d.df) AS tfidf
+  FROM per_doc p JOIN doc_len l ON p.doc_id = l.doc_id
+                 JOIN df_tbl d ON p.term = d.term),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -4129,6 +4200,7 @@ QUERIES = {
         q61_decontamination_report, n_bands=_ND_BANDS,
         planes_per_band=_ND_PLANES_PER_BAND
     ),
+    "q62_tfidf_keywords": q62_tfidf_keywords,
 }
 
 ORACLES = {
@@ -4189,6 +4261,7 @@ ORACLES = {
     "q59_unigram_logprob": _Q59_SQL,
     "q60_semantic_decontamination": _Q60_SQL,
     "q61_decontamination_report": _Q61_SQL,
+    "q62_tfidf_keywords": _Q62_SQL,
 }
 
 

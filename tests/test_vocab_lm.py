@@ -172,3 +172,31 @@ def test_q61_statuses_golden(spark):
     assert out[2].n_sem_pairs == 0 and out[2].max_cosine == -1.0
     assert out[3].n_shared_grams == 0 and out[3].n_bench_docs == 0
     assert out[1].n_shared_grams >= 1 and out[2].n_shared_grams >= 1
+
+
+def test_q62_tfidf_golden(spark):
+    """Hand-computed TF-IDF, deterministic tie-break by term, top-k cut."""
+    from real_time_anomaly_detection_spark.queries import q62_tfidf_keywords
+
+    rows = [
+        (1, "apple apple banana", "en", "s", 18),
+        (2, "banana cherry", "en", "s", 13),
+        (3, "xx yy", "en", "s", 5),    # exact tie -> term asc
+        (4, None, "en", "s", 0),       # no tokens -> no rows
+    ]
+    n = 4
+    idf = lambda df: math.log(n / df)  # noqa: E731
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = {}
+        for r in q62_tfidf_keywords(spark, d, top_k=2).collect():
+            out.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    assert set(out) == {1, 2, 3}
+    by_rank = {doc: {rk: (t, v) for rk, t, v in rows_}
+               for doc, rows_ in out.items()}
+    assert [by_rank[1][k][0] for k in (1, 2)] == ["apple", "banana"]
+    assert by_rank[1][1][1] == pytest.approx(round(2 / 3 * idf(1), 6))
+    assert [by_rank[2][k][0] for k in (1, 2)] == ["cherry", "banana"]
+    assert by_rank[2][2][1] == pytest.approx(round(1 / 2 * idf(2), 6))
+    # exact tie (same cnt, same df): deterministic term-asc ranks
+    assert [by_rank[3][k][0] for k in (1, 2)] == ["xx", "yy"]
