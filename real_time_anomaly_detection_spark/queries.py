@@ -4103,6 +4103,265 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# q63: token-budget mixture sampling. Target shares sum to 1; the corpus
+# is cut to the LARGEST total budget at which every stratum can fill its
+# share from the data (scale = min over langs of total_units/share), the
+# standard "max corpus at target mixture" computation of a data-mixing
+# step. The unit column is n_chars here — swap in any per-doc token count
+# (q23 whitespace / q41 BPE) without changing the plan shape.
+_Q63_SHARES = {"en": 0.5, "fr": 0.125, "es": 0.125, "de": 0.125, "zh": 0.125}
+_Q63_BUCKETS = 256
+
+
+def q63_token_budget_mix(spark, sf_dir,
+                         shares: dict[str, float] | None = None):
+    """Token-budget mixture sampling — the data-mixing step of a training
+    pipeline: given target corpus shares per language, keep a
+    deterministic, reproducible subset whose per-language unit totals hit
+    floor(share * scale) where scale = min(total/share) (the largest
+    budget every stratum can fill). Selection order is md5('q63:'||id) —
+    a stable total order independent of storage layout, so reruns and
+    engines agree row-for-row; langs outside the mixture are dropped.
+
+    Spark shape for 100 TB: the naive formulation is a cumulative sum
+    per lang over the hash order — a window with ONE reducer per lang
+    (5 partitions for a 10^12-doc corpus: a non-starter). Instead the
+    exact greedy-prefix cut is computed with the distributed
+    quantile-cut pattern: (1) one map-side pass derives hash + a 256-way
+    bucket from its leading byte; (2) ONE small hash agg produces per
+    (lang, bucket) unit sums — <= 5*256 rows, collected (metadata-scale,
+    the drift/centroid precedent); (3) the driver walks buckets in hash
+    order to find each lang's boundary bucket and remaining budget;
+    (4) whole buckets below the boundary pass with a map-side predicate
+    (no shuffle), and ONLY the boundary bucket — 1/256 of one lang —
+    pays a window cumsum. Exactly the oracle's greedy prefix, at a
+    256th of the sort."""
+    shares = _Q63_SHARES if shares is None else shares
+    d = load(spark, sf_dir, "documents")
+    hkey = F.md5(F.concat(F.lit("q63:"), F.col("doc_id").cast("string")))
+    meta = _persist(
+        d.filter(
+            F.col("lang").isin(list(shares)) & F.col("n_chars").isNotNull()
+        ).select(
+            "doc_id", "lang", "n_chars",
+            hkey.alias("_hkey"),
+            F.conv(F.substring(hkey, 1, 2), 16, 10).cast("int").alias("_bkt"),
+        )
+    )
+    bkt_rows = (
+        meta.groupBy("lang", "_bkt").agg(F.sum("n_chars").alias("_u")).collect()
+    )
+    totals: dict[str, int] = {}
+    bsums: dict[str, dict[int, int]] = {}
+    for r in bkt_rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["_u"]
+        bsums.setdefault(r["lang"], {})[r["_bkt"]] = r["_u"]
+    # double arithmetic ordered exactly as the oracle's min(total/share)
+    scale = min(totals.get(lg, 0) / s for lg, s in shares.items())
+    budgets = {lg: math.floor(s * scale) for lg, s in shares.items()}
+
+    full_cond = None
+    boundary: list[tuple[str, int, int]] = []  # (lang, bucket, remaining)
+    for lg in shares:
+        budget, prefix, b_star = budgets[lg], 0, None
+        for b in sorted(bsums.get(lg, {})):
+            if prefix + bsums[lg][b] > budget:
+                b_star = b
+                break
+            prefix += bsums[lg][b]
+        if b_star is None:
+            cond = F.col("lang") == lg  # whole stratum fits the budget
+        else:
+            cond = (F.col("lang") == lg) & (F.col("_bkt") < b_star)
+            boundary.append((lg, b_star, budget - prefix))
+        full_cond = cond if full_cond is None else (full_cond | cond)
+    kept = meta.filter(full_cond)
+    if boundary:
+        bcond, remc = None, None
+        for lg, b, rem in boundary:
+            c = (F.col("lang") == lg) & (F.col("_bkt") == b)
+            bcond = c if bcond is None else (bcond | c)
+            w_ = F.when(F.col("lang") == lg, F.lit(rem))
+            remc = w_ if remc is None else remc.when(F.col("lang") == lg, F.lit(rem))
+        wb = (
+            W.partitionBy("lang")
+            .orderBy("_hkey", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        bkept = (
+            meta.filter(bcond)
+            .withColumn("_csum", F.sum("n_chars").over(wb))
+            .filter(F.col("_csum") <= remc)
+            .drop("_csum")
+        )
+        kept = kept.unionByName(bkept)
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_Q63_SHARES_SQL = ", ".join(
+    f"('{lg}', {s!r})" for lg, s in _Q63_SHARES.items()
+)
+
+_Q63_SQL = f"""
+WITH shares(lang, share) AS (VALUES {_Q63_SHARES_SQL}),
+meta AS (
+  SELECT doc_id, lang, n_chars,
+         md5('q63:' || CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IN (SELECT lang FROM shares)),
+totals AS (
+  SELECT lang, sum(n_chars) AS total FROM meta GROUP BY lang),
+scale AS (
+  SELECT min(total / share) AS s FROM totals JOIN shares USING (lang)),
+budgets AS (
+  SELECT lang, floor(share * (SELECT s FROM scale)) AS budget FROM shares),
+ordered AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY hkey, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS csum
+  FROM meta)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM ordered JOIN budgets USING (lang)
+WHERE csum <= budget
+"""
+
+
+# q64: exact-substring duplicate spans, Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better") recast for Spark: instead
+# of a global suffix array, hash every k-token window; a window hash
+# occurring more than once ANYWHERE in the corpus (same doc included,
+# matching the paper) marks a duplicated span. k=8 against this corpus's
+# ~54-token docs plays the role of the paper's 50-token windows.
+_Q64_K = 8
+
+
+def q64_dup_span_stats(spark, sf_dir, k: int = _Q64_K):
+    """Per-document duplicate-span statistics — the detection half of
+    exact-substring deduplication: for each document, the number of
+    k-token windows, how many of them are duplicated corpus-wide, and
+    the fraction of token positions covered by at least one duplicated
+    window (the quantity the paper's removal step cuts). Docs with null
+    text emit nothing; docs with < k tokens report zero spans.
+
+    Spark shape for 100 TB: window hashes are computed SCAN-LOCALLY in
+    ONE mapInPandas pass (tokenize once, md5 per window — the
+    `_per_doc_term_counts` idiom), emitted as a per-doc hash ARRAY and
+    persisted, so tokenization runs exactly once however many consumers
+    follow. A pure-Catalyst formulation (transform(sequence) ->
+    md5(concat_ws(slice))) was measured 3x slower here: higher-order
+    array lambdas are evaluated interpreted, outside whole-stage
+    codegen, per window. The groupBy(hash) Exchange that follows the
+    explode is corpus-token-scale, and INHERENTLY so: exact
+    inter-document span dedup needs global hash agreement (the paper
+    pays a global suffix array for the same reason) — the corpus-scale
+    shuffle IS the algorithm here, not a plan defect; a production run
+    would emit 16-byte binary digests instead of hex to halve shuffle
+    width. The duplicated-hash relation joins back WITHOUT a broadcast
+    hint (dup rates run 30-80% on web corpora — the q48 gate precedent;
+    AQE picks), coverage is one agg over the minority dup-span rows
+    (countDistinct(pos) counts spans, countDistinct of the exploded
+    positions counts covered tokens — one Exchange for both), and the
+    per-doc span count is pure arithmetic on n_tokens, never a second
+    count over spans."""
+    import hashlib
+    import re
+
+    rx = re.compile(_VOCAB_TOKEN_RE)
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, nts, hss = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or isinstance(text, float):
+                    continue
+                t = rx.findall(text.lower())
+                ids.append(doc_id)
+                nts.append(len(t))
+                hss.append([
+                    hashlib.md5(" ".join(t[i:i + k]).encode()).hexdigest()
+                    for i in range(len(t) - k + 1)
+                ])
+            yield _pd.DataFrame(
+                {"doc_id": ids, "_nt": nts, "_hs": hss},
+                columns=["doc_id", "_nt", "_hs"],
+            )
+
+    d = load(spark, sf_dir, "documents")
+    base = _persist(
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .mapInPandas(gen, "doc_id long, _nt int, _hs array<string>")
+    )
+    spans = base.select(
+        "doc_id", F.posexplode("_hs").alias("_p0", "_h")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_h")
+    dup_h = (
+        spans.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    dup_spans = spans.join(dup_h, "_h").select("doc_id", "pos")
+    cov = dup_spans.select(
+        "doc_id", "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("_t"),
+    )
+    stats_ = cov.groupBy("doc_id").agg(
+        F.countDistinct("pos").alias("_nds"),
+        F.countDistinct("_t").alias("_ndt"),
+    )
+    per_doc = base.select(
+        "doc_id",
+        F.col("_nt").cast("bigint").alias("n_tokens"),
+        F.greatest(F.col("_nt") - F.lit(k - 1), F.lit(0))
+        .cast("bigint").alias("n_spans"),
+    )
+    return per_doc.join(stats_, "doc_id", "left").select(
+        "doc_id", "n_tokens", "n_spans",
+        F.coalesce(F.col("_nds"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        _r6(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("_ndt"), F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_token_frac"),
+    )
+
+
+_Q64_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_VOCAB_TOKEN_RE}') AS toks
+  FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i + {_Q64_K} - 1], ' ')) AS h
+  FROM base, unnest(generate_series(1, n_tokens - {_Q64_K} + 1)) AS t(i)
+  WHERE n_tokens >= {_Q64_K}),
+dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+dupspan AS (
+  SELECT doc_id, pos FROM spans JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_dup_spans,
+         count(DISTINCT p) AS n_dup_tokens
+  FROM (SELECT doc_id, pos, unnest(generate_series(pos, pos + {_Q64_K} - 1)) AS p
+        FROM dupspan)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(greatest(b.n_tokens - {_Q64_K} + 1, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN coalesce(c.n_dup_tokens, 0) * 1.0 / b.n_tokens
+                  ELSE 0.0 END, 6) AS dup_token_frac
+FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -4201,6 +4460,8 @@ QUERIES = {
         planes_per_band=_ND_PLANES_PER_BAND
     ),
     "q62_tfidf_keywords": q62_tfidf_keywords,
+    "q63_token_budget_mix": q63_token_budget_mix,
+    "q64_dup_span_stats": q64_dup_span_stats,
 }
 
 ORACLES = {
@@ -4262,6 +4523,8 @@ ORACLES = {
     "q60_semantic_decontamination": _Q60_SQL,
     "q61_decontamination_report": _Q61_SQL,
     "q62_tfidf_keywords": _Q62_SQL,
+    "q63_token_budget_mix": _Q63_SQL,
+    "q64_dup_span_stats": _Q64_SQL,
 }
 
 
