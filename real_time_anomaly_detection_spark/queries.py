@@ -4235,34 +4235,14 @@ WHERE csum <= budget
 _Q64_K = 8
 
 
-def q64_dup_span_stats(spark, sf_dir, k: int = _Q64_K):
-    """Per-document duplicate-span statistics — the detection half of
-    exact-substring deduplication: for each document, the number of
-    k-token windows, how many of them are duplicated corpus-wide, and
-    the fraction of token positions covered by at least one duplicated
-    window (the quantity the paper's removal step cuts). Docs with null
-    text emit nothing; docs with < k tokens report zero spans.
-
-    Spark shape for 100 TB: window hashes are computed SCAN-LOCALLY in
-    ONE mapInPandas pass (tokenize once, md5 per window — the
-    `_per_doc_term_counts` idiom), emitted as a per-doc hash ARRAY and
-    persisted, so tokenization runs exactly once however many consumers
-    follow. A pure-Catalyst formulation (transform(sequence) ->
-    md5(concat_ws(slice))) was measured 3x slower here: higher-order
-    array lambdas are evaluated interpreted, outside whole-stage
-    codegen, per window. The groupBy(hash) Exchange that follows the
-    explode is corpus-token-scale, and INHERENTLY so: exact
-    inter-document span dedup needs global hash agreement (the paper
-    pays a global suffix array for the same reason) — the corpus-scale
-    shuffle IS the algorithm here, not a plan defect; a production run
-    would emit 16-byte binary digests instead of hex to halve shuffle
-    width. The duplicated-hash relation joins back WITHOUT a broadcast
-    hint (dup rates run 30-80% on web corpora — the q48 gate precedent;
-    AQE picks), coverage is one agg over the minority dup-span rows
-    (countDistinct(pos) counts spans, countDistinct of the exploded
-    positions counts covered tokens — one Exchange for both), and the
-    per-doc span count is pure arithmetic on n_tokens, never a second
-    count over spans."""
+def _span_base_cov(spark, sf_dir, k: int):
+    """Shared machinery of the exact-substring dedup family (q64 stats,
+    q65 removal): ONE persisted mapInPandas pass tokenizes each doc and
+    md5-hashes every k-token window (`base`: doc_id, _nt, _hs array),
+    then the corpus-token-scale groupBy(hash) finds windows seen more
+    than once anywhere, joined back hint-free, and each duplicated
+    window is exploded to the k token positions it covers (`cov`:
+    doc_id, pos, _t — dup-minority-scale rows)."""
     import hashlib
     import re
 
@@ -4306,8 +4286,42 @@ def q64_dup_span_stats(spark, sf_dir, k: int = _Q64_K):
     dup_spans = spans.join(dup_h, "_h").select("doc_id", "pos")
     cov = dup_spans.select(
         "doc_id", "pos",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("_t"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("_t"),
     )
+    return base, cov
+
+
+def q64_dup_span_stats(spark, sf_dir, k: int = _Q64_K):
+    """Per-document duplicate-span statistics — the detection half of
+    exact-substring deduplication: for each document, the number of
+    k-token windows, how many of them are duplicated corpus-wide, and
+    the fraction of token positions covered by at least one duplicated
+    window (the quantity the paper's removal step cuts). Docs with null
+    text emit nothing; docs with < k tokens report zero spans.
+
+    Spark shape for 100 TB: window hashes are computed SCAN-LOCALLY in
+    ONE mapInPandas pass (tokenize once, md5 per window — the
+    `_per_doc_term_counts` idiom), emitted as a per-doc hash ARRAY and
+    persisted, so tokenization runs exactly once however many consumers
+    follow. A pure-Catalyst formulation (transform(sequence) ->
+    md5(concat_ws(slice))) was measured 3x slower here: higher-order
+    array lambdas are evaluated interpreted, outside whole-stage
+    codegen, per window. The groupBy(hash) Exchange that follows the
+    explode is corpus-token-scale, and INHERENTLY so: exact
+    inter-document span dedup needs global hash agreement (the paper
+    pays a global suffix array for the same reason) — the corpus-scale
+    shuffle IS the algorithm here, not a plan defect; a production run
+    would emit 16-byte binary digests instead of hex to halve shuffle
+    width. The duplicated-hash relation joins back WITHOUT a broadcast
+    hint (dup rates run 30-80% on web corpora — the q48 gate precedent;
+    AQE picks), coverage is one agg over the minority dup-span rows
+    (countDistinct(pos) counts spans, countDistinct of the exploded
+    positions counts covered tokens — one Exchange for both), and the
+    per-doc span count is pure arithmetic on n_tokens, never a second
+    count over spans."""
+    base, cov = _span_base_cov(spark, sf_dir, k)
     stats_ = cov.groupBy("doc_id").agg(
         F.countDistinct("pos").alias("_nds"),
         F.countDistinct("_t").alias("_ndt"),
@@ -4359,6 +4373,110 @@ SELECT b.doc_id,
                   THEN coalesce(c.n_dup_tokens, 0) * 1.0 / b.n_tokens
                   ELSE 0.0 END, 6) AS dup_token_frac
 FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+"""
+
+
+def q65_dup_span_removal(spark, sf_dir, k: int = _Q64_K):
+    """Exact-substring dedup APPLIED — the removal half of Lee et al.
+    2022 (q48 is to q47 what this is to q64): every token covered by a
+    corpus-duplicated k-token window is cut, and the document is
+    re-emitted as its kept-token stream (text_clean) with kept/removed
+    accounting. The family operates on the normalized token stream
+    ([a-z]+ lowercase — q41's parity convention), so text_clean is the
+    cleaned TOKEN sequence space-joined, not the original spacing/
+    punctuation; fully-duplicated docs survive as empty strings (the
+    paper keeps one-per-cluster via the SEPARATE doc-level dedup q48 —
+    span removal deliberately cuts every occurrence). Null-text docs
+    emit nothing; token-free docs pass through empty.
+
+    Spark shape for 100 TB: stages 1-3 are q64's (`_span_base_cov` —
+    one persisted tokenize+hash pass, the inherent corpus-token-scale
+    hash agg, hint-free dup join). The covered positions then collapse
+    to ONE per-doc int-set row (collect_set — bounded by the doc's own
+    token count), which left-joins the corpus WITHOUT a broadcast hint
+    (dup-affected docs are 30-80% of a web corpus — q48 precedent), and
+    one final mapInPandas scan re-tokenizes and cuts. Re-tokenizing the
+    second scan is deliberate: carrying the token arrays inside the
+    persisted base would pin corpus-scale payload in cache purely to
+    save CPU — recompute beats caching at the design scale."""
+    import re
+
+    rx = re.compile(_VOCAB_TOKEN_RE)
+
+    def rebuild(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, texts, kept, removed = [], [], [], []
+            for doc_id, text, cut in zip(
+                pdf["doc_id"], pdf["text"], pdf["_cut"]
+            ):
+                if text is None or isinstance(text, float):
+                    continue
+                t = rx.findall(text.lower())
+                cuts = (
+                    set() if cut is None or isinstance(cut, float)
+                    else {int(x) for x in cut}
+                )
+                keep = [w for i, w in enumerate(t, 1) if i not in cuts]
+                ids.append(doc_id)
+                texts.append(" ".join(keep))
+                kept.append(len(keep))
+                removed.append(len(t) - len(keep))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "text_clean": texts,
+                 "n_kept": kept, "n_removed": removed},
+                columns=["doc_id", "text_clean", "n_kept", "n_removed"],
+            )
+
+    _, cov = _span_base_cov(spark, sf_dir, k)
+    covered = cov.groupBy("doc_id").agg(F.collect_set("_t").alias("_cut"))
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .join(covered, "doc_id", "left")
+        .mapInPandas(
+            rebuild,
+            "doc_id long, text_clean string, n_kept long, n_removed long",
+        )
+    )
+
+
+_Q65_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_VOCAB_TOKEN_RE}') AS toks
+  FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i + {_Q64_K} - 1], ' ')) AS h
+  FROM base, unnest(generate_series(1, n_tokens - {_Q64_K} + 1)) AS t(i)
+  WHERE n_tokens >= {_Q64_K}),
+dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+dupspan AS (
+  SELECT doc_id, pos FROM spans JOIN dup USING (h)),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + {_Q64_K} - 1)) AS p
+        FROM dupspan)),
+pos AS (
+  SELECT doc_id, i, toks[i] AS tok
+  FROM base, unnest(generate_series(1, n_tokens)) AS t(i)),
+kept AS (
+  SELECT p.doc_id,
+         string_agg(p.tok, ' ' ORDER BY p.i) AS text_clean,
+         count(*) AS n_kept
+  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.p
+  WHERE c.p IS NULL
+  GROUP BY p.doc_id)
+SELECT b.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -4462,6 +4580,7 @@ QUERIES = {
     "q62_tfidf_keywords": q62_tfidf_keywords,
     "q63_token_budget_mix": q63_token_budget_mix,
     "q64_dup_span_stats": q64_dup_span_stats,
+    "q65_dup_span_removal": q65_dup_span_removal,
 }
 
 ORACLES = {
@@ -4525,6 +4644,7 @@ ORACLES = {
     "q62_tfidf_keywords": _Q62_SQL,
     "q63_token_budget_mix": _Q63_SQL,
     "q64_dup_span_stats": _Q64_SQL,
+    "q65_dup_span_removal": _Q65_SQL,
 }
 
 

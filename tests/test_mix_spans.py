@@ -161,6 +161,55 @@ def test_q64_k_parameter(spark):
     assert k8[1].n_dup_spans == 0 and k8[1].n_spans == 0  # 3 tokens < 8
 
 
+def test_q65_planted_removal_golden(spark):
+    """Removal cuts exactly the covered tokens of the q64 planted corpus:
+    partial cut keeps the tail/head remainder, <k-token docs pass
+    through untouched, a doc made ENTIRELY of duplicated windows
+    survives as an empty string with full accounting."""
+    from real_time_anomaly_detection_spark.queries import q65_dup_span_removal
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, phrase + " one two three", "en", "s", 0),
+        (2, "x y " + phrase, "en", "s", 0),
+        (3, "too short", "en", "s", 0),
+        (4, None, "en", "s", 0),
+        (5, phrase + " " + phrase, "en", "s", 0),
+        (6, "123 !!!", "en", "s", 0),  # token-free -> empty passthrough
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = {r.doc_id: r for r in q65_dup_span_removal(spark, d).collect()}
+
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert (out[1].text_clean, out[1].n_kept, out[1].n_removed) == (
+        "one two three", 3, 8)
+    assert (out[2].text_clean, out[2].n_kept, out[2].n_removed) == ("x y", 2, 8)
+    assert (out[3].text_clean, out[3].n_kept, out[3].n_removed) == (
+        "too short", 2, 0)
+    # doc5: dup windows at pos 1 and 9 cover tokens 1..8 and 9..16 — gone
+    assert (out[5].text_clean, out[5].n_kept, out[5].n_removed) == ("", 0, 16)
+    assert (out[6].text_clean, out[6].n_kept, out[6].n_removed) == ("", 0, 0)
+
+
+def test_q65_accounting_consistent_with_q64(spark):
+    """On the real corpus: per doc, kept+removed == q64's n_tokens, and
+    tokens are removed exactly when q64 reports duplicated spans."""
+    from real_time_anomaly_detection_spark.queries import (
+        q64_dup_span_stats,
+        q65_dup_span_removal,
+    )
+
+    stats = {r.doc_id: r for r in q64_dup_span_stats(spark, SF).collect()}
+    removed = {r.doc_id: r for r in q65_dup_span_removal(spark, SF).collect()}
+    assert set(stats) == set(removed)
+    assert any(r.n_removed > 0 for r in removed.values())  # non-trivial corpus
+    for did, r in removed.items():
+        s = stats[did]
+        assert r.n_kept + r.n_removed == s.n_tokens
+        assert (r.n_removed > 0) == (s.n_dup_spans > 0)
+
+
 def test_q64_tokenize_pass_is_shared(spark):
     """The mapInPandas tokenize+hash stage must be persisted and reused by
     all three consumers (span explode x2, per-doc arithmetic) — the
