@@ -170,6 +170,32 @@ NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
 NEARDUP_DOCS = 20_000
 NEARDUP_VECS = 8_000
 
+# exact-substring dedup family: benched on its OWN controlled corpus —
+# both the sf dirs and the near-dup corpus are degenerate for k-token
+# window hashing (their synthetic words fragment under the [a-z]+
+# tokenizer to ~15 distinct letter runs -> 100% window-dup rate, so a
+# bench there times the all-duplicate explosion, not the design; the
+# spans corpus plants a realistic ~1-2% window-dup rate)
+SPANS_QUERIES = {"q64_dup_span_stats", "q65_dup_span_removal"}
+SPANS_DOCS = 20_000
+
+
+def spans_corpus_dir() -> str:
+    env = os.environ.get("BENCH_SPANS_DIR")
+    if env:
+        return env
+    path = os.path.join(CACHE_DIR, f"spans_bench_{SPANS_DOCS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import make_sf1
+
+        os.makedirs(path, exist_ok=True)
+        make_sf1.make_span_documents(path, n_docs=SPANS_DOCS)
+        open(marker, "w").close()
+    return path
+
 
 def neardup_corpus_dir() -> str:
     """Build (once, cached) the realistic-density near-dup bench corpus:
@@ -205,9 +231,11 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         _q50_cluster_paths(spark, nd_dir)
     if "q61_decontamination_report" in names:
         _q61_input_paths(spark, nd_dir)
+    sp_dir = spans_corpus_dir() if SPANS_QUERIES & set(names) else None
     out = {}
     for name in names:
-        src = nd_dir if name in NEARDUP_QUERIES else sf_dir
+        src = (nd_dir if name in NEARDUP_QUERIES
+               else sp_dir if name in SPANS_QUERIES else sf_dir)
         fn = NEARDUP_BENCH_FNS.get(name, QUERIES[name])
         t0 = time.perf_counter()
         _force(fn(spark, src))
@@ -392,7 +420,8 @@ def main() -> None:
     top5 = sorted(qtimes, key=qtimes.get, reverse=True)[:5]
     for name in top5:
         runs = [qtimes[name]]
-        src = nd_dir if name in NEARDUP_QUERIES else sf_dir
+        src = (nd_dir if name in NEARDUP_QUERIES
+               else spans_corpus_dir() if name in SPANS_QUERIES else sf_dir)
         fn = NEARDUP_BENCH_FNS.get(name, QUERIES[name])
         for _ in range(n_runs - 1):
             spark.catalog.clearCache()
@@ -449,6 +478,12 @@ def main() -> None:
                     "neardup_config": "threshold-derived banding "
                                       "(q29/q34 @0.5, q42 @0.9); registry "
                                       "oracle geometry not benched",
+                    "spans_corpus": (
+                        os.environ.get("BENCH_SPANS_DIR")
+                        or f"controlled window-dup corpus {SPANS_DOCS} docs "
+                           "(~1-2% dup spans; sf dirs are degenerate for "
+                           "k-token windows — [a-z]+ fragments their words)"
+                    ),
                     "q50_inputs": "materialized cluster relations (r6: the "
                                   "cluster compute is the q47/q49 rows; "
                                   "pre-change q50 re-timed both stacks)",

@@ -3763,6 +3763,33 @@ FROM stats ORDER BY df DESC, term ASC LIMIT 100
 """
 
 
+def _unigram_scored(spark, sf_dir) -> DataFrame:
+    """Shared scoring stage of the LM-quality family (q59 report, q66
+    perplexity buckets): per-doc (doc_id, n_tokens, _mlp unrounded mean
+    token logprob) under the self-trained add-one unigram model. Plan
+    shape documented at q59."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = _persist(_per_doc_term_counts(d))
+    model = per_doc.groupBy("term").agg(F.sum("cnt").alias("cf"))
+    totals = model.agg(
+        F.sum("cf").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = model.join(F.broadcast(totals)).select(
+        "term",
+        F.log((F.col("cf") + F.lit(1.0)) / (F.col("_t") + F.col("_v"))).alias(
+            "_lp"
+        ),
+    )
+    return (
+        per_doc.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (F.sum(F.col("cnt") * F.col("_lp")) / F.sum("cnt")).alias("_mlp"),
+        )
+    )
+
+
 def q59_unigram_logprob(spark, sf_dir):
     """CCNet-class perplexity-proxy quality scoring, self-trained: a
     unigram LM with add-one smoothing over the corpus's own token stream,
@@ -3783,26 +3810,7 @@ def q59_unigram_logprob(spark, sf_dir):
     hint — AQE picks (the q48/q57 gate precedent). Means are weighted by
     cnt so the join input stays per-doc-distinct, never re-exploded
     occurrences."""
-    d = load(spark, sf_dir, "documents")
-    per_doc = _persist(_per_doc_term_counts(d))
-    model = per_doc.groupBy("term").agg(F.sum("cnt").alias("cf"))
-    totals = model.agg(
-        F.sum("cf").alias("_t"), F.count(F.lit(1)).alias("_v")
-    )
-    lp = model.join(F.broadcast(totals)).select(
-        "term",
-        F.log((F.col("cf") + F.lit(1.0)) / (F.col("_t") + F.col("_v"))).alias(
-            "_lp"
-        ),
-    )
-    scored = (
-        per_doc.join(lp, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            (F.sum(F.col("cnt") * F.col("_lp")) / F.sum("cnt")).alias("_mlp"),
-        )
-    )
+    scored = _unigram_scored(spark, sf_dir)
     return scored.select(
         "doc_id",
         "n_tokens",
@@ -4235,55 +4243,117 @@ WHERE csum <= budget
 _Q64_K = 8
 
 
+# odd 64-bit multipliers (splitmix64 / xxhash constants) for the two
+# independent polynomial window-hash lanes — 128 bits combined, the
+# collision budget md5 bought, at numpy speed
+_SPAN_M1 = 0x9E3779B97F4A7C15
+_SPAN_M2 = 0xC2B2AE3D27D4EB4F
+
+
 def _span_base_cov(spark, sf_dir, k: int):
     """Shared machinery of the exact-substring dedup family (q64 stats,
-    q65 removal): ONE persisted mapInPandas pass tokenizes each doc and
-    md5-hashes every k-token window (`base`: doc_id, _nt, _hs array),
-    then the corpus-token-scale groupBy(hash) finds windows seen more
-    than once anywhere, joined back hint-free, and each duplicated
-    window is exploded to the k token positions it covers (`cov`:
-    doc_id, pos, _t — dup-minority-scale rows)."""
+    q65 removal): ONE persisted mapInPandas pass per batch tokenizes the
+    docs, md5s each DISTINCT token once to a 128-bit id (vocabulary-
+    scale work, memoized), and hashes every k-token window with two
+    independent mod-2^64 polynomial lanes over the ids — fully
+    vectorized: the batch's token-id stream is ONE concatenated uint64
+    array, windows come from sliding_window_view * power-vector sums,
+    and window starts that would straddle a document boundary are
+    excluded index-arithmetically, so no per-span Python executes
+    (the per-span hashlib.md5 formulation this replaced measured ~40s
+    per 2-core run on the 200k-doc corpus). Two int64 lanes = 16 bytes
+    on the shuffle, half md5's hex width, same effective collision
+    budget. `base` carries per-doc hash ARRAYS; the corpus-token-scale
+    groupBy(lane1, lane2) finds windows seen more than once anywhere,
+    joined back hint-free, and each duplicated window explodes to the k
+    token positions it covers (`cov`: doc_id, pos, _t)."""
     import hashlib
     import re
 
     rx = re.compile(_VOCAB_TOKEN_RE)
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
+        mask = (1 << 64) - 1
+        p1 = [1] * k
+        p2 = [1] * k
+        for j in range(k - 2, -1, -1):
+            p1[j] = (p1[j + 1] * _SPAN_M1) & mask
+            p2[j] = (p2[j + 1] * _SPAN_M2) & mask
+        pw1 = _np.asarray(p1, dtype=_np.uint64)
+        pw2 = _np.asarray(p2, dtype=_np.uint64)
+        tok_ids: dict = {}
+
+        def tid(w):
+            v = tok_ids.get(w)
+            if v is None:
+                dg = hashlib.md5(w.encode()).digest()
+                v = (int.from_bytes(dg[:8], "little"),
+                     int.from_bytes(dg[8:], "little"))
+                tok_ids[w] = v
+            return v
+
         for pdf in batches:
-            ids, nts, hss = [], [], []
+            ids, nts, flat = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None or isinstance(text, float):
                     continue
                 t = rx.findall(text.lower())
                 ids.append(doc_id)
                 nts.append(len(t))
-                hss.append([
-                    hashlib.md5(" ".join(t[i:i + k]).encode()).hexdigest()
-                    for i in range(len(t) - k + 1)
-                ])
+                flat.extend(tid(w) for w in t)
+            nl = _np.asarray(nts, dtype=_np.int64)
+            if flat and len(flat) >= k:
+                arr = _np.asarray(flat, dtype=_np.uint64)  # (N, 2)
+                win1 = _np.lib.stride_tricks.sliding_window_view(
+                    arr[:, 0], k)
+                win2 = _np.lib.stride_tricks.sliding_window_view(
+                    arr[:, 1], k)
+                h1 = (win1 * pw1).sum(axis=1).view(_np.int64)
+                h2 = (win2 * pw2).sum(axis=1).view(_np.int64)
+                starts = _np.concatenate(
+                    ([0], _np.cumsum(nl)[:-1])) if len(nl) else nl
+                counts = _np.maximum(nl - k + 1, 0)
+                ends = _np.cumsum(counts)
+                base_idx = _np.repeat(starts, counts)
+                within = _np.arange(int(ends[-1]) if len(ends) else 0)
+                within -= _np.repeat(ends - counts, counts)
+                pos = base_idx + within  # valid window starts, concat space
+                h1s = _np.split(h1[pos], ends[:-1])
+                h2s = _np.split(h2[pos], ends[:-1])
+            else:
+                h1s = h2s = [_np.empty(0, dtype=_np.int64)] * len(ids)
             yield _pd.DataFrame(
-                {"doc_id": ids, "_nt": nts, "_hs": hss},
-                columns=["doc_id", "_nt", "_hs"],
+                {"doc_id": ids, "_nt": nts,
+                 "_h1s": [x.tolist() for x in h1s],
+                 "_h2s": [x.tolist() for x in h2s]},
+                columns=["doc_id", "_nt", "_h1s", "_h2s"],
             )
 
     d = load(spark, sf_dir, "documents")
     base = _persist(
         d.filter(F.col("text").isNotNull())
         .select("doc_id", "text")
-        .mapInPandas(gen, "doc_id long, _nt int, _hs array<string>")
+        .mapInPandas(
+            gen,
+            "doc_id long, _nt int, _h1s array<bigint>, _h2s array<bigint>",
+        )
     )
     spans = base.select(
-        "doc_id", F.posexplode("_hs").alias("_p0", "_h")
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_h")
+        "doc_id", F.posexplode(F.arrays_zip("_h1s", "_h2s")).alias("_p0", "_z")
+    ).select(
+        "doc_id", (F.col("_p0") + 1).alias("pos"),
+        F.col("_z._h1s").alias("_h1"), F.col("_z._h2s").alias("_h2"),
+    )
     dup_h = (
-        spans.groupBy("_h")
+        spans.groupBy("_h1", "_h2")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > 1)
-        .select("_h")
+        .select("_h1", "_h2")
     )
-    dup_spans = spans.join(dup_h, "_h").select("doc_id", "pos")
+    dup_spans = spans.join(dup_h, ["_h1", "_h2"]).select("doc_id", "pos")
     cov = dup_spans.select(
         "doc_id", "pos",
         F.explode(
@@ -4302,19 +4372,20 @@ def q64_dup_span_stats(spark, sf_dir, k: int = _Q64_K):
     text emit nothing; docs with < k tokens report zero spans.
 
     Spark shape for 100 TB: window hashes are computed SCAN-LOCALLY in
-    ONE mapInPandas pass (tokenize once, md5 per window — the
-    `_per_doc_term_counts` idiom), emitted as a per-doc hash ARRAY and
-    persisted, so tokenization runs exactly once however many consumers
-    follow. A pure-Catalyst formulation (transform(sequence) ->
-    md5(concat_ws(slice))) was measured 3x slower here: higher-order
-    array lambdas are evaluated interpreted, outside whole-stage
-    codegen, per window. The groupBy(hash) Exchange that follows the
-    explode is corpus-token-scale, and INHERENTLY so: exact
+    ONE mapInPandas pass (`_span_base_cov`: tokenize once, vectorized
+    two-lane polynomial hash over md5 token ids — no per-span Python),
+    emitted as per-doc hash ARRAYS and persisted, so tokenization runs
+    exactly once however many consumers follow. A pure-Catalyst
+    formulation (transform(sequence) -> md5(concat_ws(slice))) was
+    measured 3x slower than even the per-span-Python version: higher-
+    order array lambdas are evaluated interpreted, outside whole-stage
+    codegen, per window. The groupBy(hash-lanes) Exchange that follows
+    the explode is corpus-token-scale, and INHERENTLY so: exact
     inter-document span dedup needs global hash agreement (the paper
     pays a global suffix array for the same reason) — the corpus-scale
-    shuffle IS the algorithm here, not a plan defect; a production run
-    would emit 16-byte binary digests instead of hex to halve shuffle
-    width. The duplicated-hash relation joins back WITHOUT a broadcast
+    shuffle IS the algorithm here, not a plan defect; the two int64
+    lanes keep it at 16 bytes/span. The duplicated-hash relation joins
+    back WITHOUT a broadcast
     hint (dup rates run 30-80% on web corpora — the q48 gate precedent;
     AQE picks), coverage is one agg over the minority dup-span rows
     (countDistinct(pos) counts spans, countDistinct of the exploded
@@ -4480,6 +4551,149 @@ FROM base b LEFT JOIN kept k USING (doc_id)
 """
 
 
+# q66: CCNet-style head/middle/tail (Wenzek et al. 2020): per language,
+# documents sorted by LM quality score and split into three equal TOKEN-
+# mass parts. 256-way fixed grid over bits/token for the quantile cut.
+_Q66_GRID = 8       # buckets per bit -> [0, 32) bits/token resolution
+_Q66_MAXBKT = 255
+
+
+def q66_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): within each language, documents are ordered by the q59
+    self-trained LM quality score (bits/token asc — most-fluent first,
+    doc_id tiebreak) and split into head / middle / tail of equal TOKEN
+    mass (cuts at floor(T/3) and floor(2T/3) of the lang's total, doc
+    assigned by inclusive running sum). The head is what quality-
+    stratified sampling upweights; zero-token docs emit no row (q59's
+    convention — they have no score).
+
+    Spark shape for 100 TB: scoring is q59's shared stages
+    (`_unigram_scored`). The per-lang split is the q63 distributed
+    quantile-cut generalized: a naive per-lang rank/cumsum window is ONE
+    reducer per language — 5 partitions for a 10^12-doc corpus. Instead
+    each doc gets a map-side grid bucket floor(score*8) clamped to
+    [0,255] (bucket order refines score order, ties share a bucket, so
+    bucket-then-(score,doc_id) IS the global order); ONE (lang,bucket)
+    metadata agg (<= langs x 256 rows, collected — drift/centroid
+    precedent) lets the driver label whole buckets head/middle/tail;
+    the labeling broadcasts back as a metadata join (null-safe on lang)
+    and ONLY the <=2 straddling buckets per language pay a window
+    cumsum, seeded with the bucket's exact token prefix."""
+    scored = _unigram_scored(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    meta = _persist(
+        scored.join(docs, "doc_id")
+        .select(
+            "doc_id", "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            _r6(-F.col("_mlp") / float(math.log(2.0))).alias(
+                "bits_per_token"
+            ),
+        )
+        .withColumn(
+            "_bkt",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("bits_per_token") * _Q66_GRID).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(_Q66_MAXBKT),
+            ),
+        )
+    )
+    rows = (
+        meta.groupBy("lang", "_bkt").agg(F.sum("n_tokens").alias("_u"))
+        .collect()
+    )
+    bsums: dict = {}
+    for r in rows:
+        bsums.setdefault(r["lang"], {})[r["_bkt"]] = r["_u"]
+    map_rows = []
+    for lg, bs in bsums.items():
+        total = sum(bs.values())
+        t1, t2 = total // 3, (2 * total) // 3
+        prefix = 0
+        for b in sorted(bs):
+            hi = prefix + bs[b]
+            if hi <= t1:
+                lab = "head"
+            elif prefix >= t1 and hi <= t2:
+                lab = "middle"
+            elif prefix >= t2:
+                lab = "tail"
+            else:
+                lab = None  # straddles a cut: exact split below
+            map_rows.append((lg, b, lab, prefix, t1, t2))
+            prefix = hi
+    map_df = spark.createDataFrame(
+        map_rows,
+        "_mlang string, _mbkt int, _lab string, _prefix long, "
+        "_t1 long, _t2 long",
+    )
+    j = meta.join(
+        F.broadcast(map_df),
+        meta["lang"].eqNullSafe(map_df["_mlang"])
+        & (meta["_bkt"] == map_df["_mbkt"]),
+    )
+    out_cols = ["doc_id", "lang", "n_tokens", "bits_per_token"]
+    done = j.filter(F.col("_lab").isNotNull()).select(
+        *out_cols, F.col("_lab").alias("bucket")
+    )
+    wb = (
+        W.partitionBy("lang", "_bkt")
+        .orderBy("bits_per_token", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bnd = (
+        j.filter(F.col("_lab").isNull())
+        .withColumn("_csum", F.col("_prefix") + F.sum("n_tokens").over(wb))
+        .select(
+            *out_cols,
+            F.when(F.col("_csum") <= F.col("_t1"), "head")
+            .when(F.col("_csum") <= F.col("_t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return done.unionByName(bnd)
+
+
+_Q66_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_VOCAB_TOKEN_RE}')) AS term
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+model AS (
+  SELECT term, sum(cnt) AS cf FROM per_doc GROUP BY term),
+totals AS (
+  SELECT sum(cf) AS t, count(*) AS v FROM model),
+lp AS (
+  SELECT term, ln((cf + 1.0) / (t + v)) AS lp FROM model, totals),
+scored AS (
+  SELECT doc_id, sum(cnt) AS n_tokens,
+         sum(cnt * lp) / sum(cnt) AS mlp
+  FROM per_doc JOIN lp USING (term) GROUP BY doc_id),
+s AS (
+  SELECT sc.doc_id, d.lang, CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+         round(-sc.mlp / ln(2), 6) AS bits_per_token
+  FROM scored sc JOIN documents d USING (doc_id)),
+w AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY bits_per_token, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS csum,
+         sum(n_tokens) OVER (PARTITION BY lang) AS t
+  FROM s)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       CASE WHEN csum <= t // 3 THEN 'head'
+            WHEN csum <= (2 * t) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM w
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -4581,6 +4795,7 @@ QUERIES = {
     "q63_token_budget_mix": q63_token_budget_mix,
     "q64_dup_span_stats": q64_dup_span_stats,
     "q65_dup_span_removal": q65_dup_span_removal,
+    "q66_perplexity_buckets": q66_perplexity_buckets,
 }
 
 ORACLES = {
@@ -4645,6 +4860,7 @@ ORACLES = {
     "q63_token_budget_mix": _Q63_SQL,
     "q64_dup_span_stats": _Q64_SQL,
     "q65_dup_span_removal": _Q65_SQL,
+    "q66_perplexity_buckets": _Q66_SQL,
 }
 
 

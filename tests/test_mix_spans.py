@@ -210,6 +210,64 @@ def test_q65_accounting_consistent_with_q64(spark):
         assert (r.n_removed > 0) == (s.n_dup_spans > 0)
 
 
+def test_q66_matches_reference_labeling(spark):
+    """Row-for-row agreement with a pure-pandas reference on the real
+    corpus: per language, docs sorted by (bits_per_token, doc_id) and
+    labeled head/middle/tail by inclusive token cumsum against
+    floor(T/3) / floor(2T/3) — built from the q59 output (its own value
+    oracle pins the scores), so this pins exactly the bucketing logic."""
+    from real_time_anomaly_detection_spark.queries import (
+        q59_unigram_logprob,
+        q66_perplexity_buckets,
+    )
+
+    lang = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    scored = pd.DataFrame(
+        [(r.doc_id, lang[r.doc_id], r.n_tokens, r.bits_per_token)
+         for r in q59_unigram_logprob(spark, SF).collect()],
+        columns=["doc_id", "lang", "n_tokens", "bits_per_token"],
+    )
+    expect = {}
+    for lg, sub in scored.groupby("lang"):
+        sub = sub.sort_values(["bits_per_token", "doc_id"])
+        total = int(sub["n_tokens"].sum())
+        t1, t2 = total // 3, (2 * total) // 3
+        csum = 0
+        for _, r in sub.iterrows():
+            csum += int(r["n_tokens"])
+            expect[int(r["doc_id"])] = (
+                "head" if csum <= t1 else "middle" if csum <= t2 else "tail"
+            )
+
+    out = q66_perplexity_buckets(spark, SF).collect()
+    assert len(out) == len(expect)
+    got = {r.doc_id: r.bucket for r in out}
+    assert got == expect
+    # all three buckets non-empty on the real corpus
+    assert {r.bucket for r in out} == {"head", "middle", "tail"}
+
+
+def test_q66_window_only_on_straddling_buckets(spark):
+    """Scale contract: the per-lang cumsum Window runs over ONLY the <=2
+    grid buckets per language that straddle a tercile cut — the driver
+    labeling joins back as a broadcast, never a corpus shuffle for the
+    labeled side."""
+    from real_time_anomaly_detection_spark.queries import (
+        q66_perplexity_buckets,
+    )
+
+    plan = (
+        q66_perplexity_buckets(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_q64_tokenize_pass_is_shared(spark):
     """The mapInPandas tokenize+hash stage must be persisted and reused by
     all three consumers (span explode x2, per-doc arithmetic) — the

@@ -98,6 +98,72 @@ def make_documents(out_dir: str, n_docs: int = 50_000,
     pq.write_table(tbl, f"{out_dir}/documents.parquet", row_group_size=ROW_GROUP)
 
 
+def make_span_documents(out_dir: str, n_docs: int = 20_000,
+                        vocab: int = 50_000, seed: int = 20260818) -> None:
+    """Documents whose [a-z]+ TOKEN stream is realistic for exact-substring
+    (k-token window) dedup — `make_documents`' synthetic words fragment
+    under the [a-z]+ tokenizer ("c0share5tok" -> c/share/tok), collapsing
+    any corpus built from them to ~15 distinct letter-run tokens and a
+    100% window-dup rate (70M spans / 15 distinct hashes measured on the
+    200k corpus), which benches the all-duplicate explosion instead of
+    the design. Here every word is a pure-letter base-26 encoding of a
+    seeded-uniform vocab id (survives the tokenizer verbatim), with two
+    planted duplicate classes: shared 30-token PASSAGES (one per 100
+    docs, each spliced into 4 docs at staggered offsets) and whole-doc
+    EXACT duplicates (every 500th doc copies its predecessor) — a ~1-2%
+    window-dup rate, the regime Lee et al. report for web corpora.
+    Deterministic; writes documents.parquet only (pair with any
+    embeddings table when a corpus dir needs one)."""
+    rng = np.random.RandomState(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def words(ids: np.ndarray) -> list[str]:
+        out = []
+        for i in ids:
+            w, i = [], int(i)
+            while True:
+                w.append(letters[i % 26])
+                i //= 26
+                if not i:
+                    break
+            out.append("".join(w))
+        return out
+
+    wordlist = np.asarray(words(np.arange(vocab)), dtype=object)
+    n_passages = max(n_docs // 100, 1)
+    passages = [
+        wordlist[rng.randint(0, vocab, 30)].tolist()
+        for _ in range(n_passages)
+    ]
+    rows_txt: list[str] = []
+    for doc in range(n_docs):
+        if doc % 500 == 1 and doc > 0:
+            rows_txt.append(rows_txt[doc - 1])  # exact whole-doc duplicate
+            continue
+        n_tok = 50 + (doc * 13) % 250
+        toks = wordlist[rng.randint(0, vocab, n_tok)].tolist()
+        if doc < 4 * n_passages:
+            p, m = divmod(doc, 4)
+            at = (m * 11) % max(n_tok - 1, 1)
+            toks[at:at] = passages[p]
+        rows_txt.append(" ".join(toks))
+    langs = ["en", "de", "fr", "es"]
+    srcs = ["webcrawl", "books", "forums"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(rows_txt, pa.string()),
+            "lang": pa.array([langs[i % 4] for i in range(n_docs)],
+                             pa.string()),
+            "source": pa.array([srcs[i % 3] for i in range(n_docs)],
+                               pa.string()),
+            "n_chars": pa.array([len(s) for s in rows_txt], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet",
+                   row_group_size=ROW_GROUP)
+
+
 def make_embeddings(out_dir: str, n_vecs: int = 20_000, dim: int = 64,
                     n_pairs: int | None = None) -> None:
     """Seeded isotropic vectors + planted near-dup pairs (cosine ~0.95,
