@@ -4126,8 +4126,10 @@ def q63_token_budget_mix(spark, sf_dir,
     """Token-budget mixture sampling — the data-mixing step of a training
     pipeline: given target corpus shares per language, keep a
     deterministic, reproducible subset whose per-language unit totals hit
-    floor(share * scale) where scale = min(total/share) (the largest
-    budget every stratum can fill). Selection order is md5('q63:'||id) —
+    floor(share * scale) where scale = min(total/share) over the strata
+    PRESENT in the data (an absent stratum does not constrain the budget
+    — it is detectable as a missing lang in the output; matching the
+    oracle's totals-join semantics). Selection order is md5('q63:'||id) —
     a stable total order independent of storage layout, so reruns and
     engines agree row-for-row; langs outside the mixture are dropped.
 
@@ -4164,8 +4166,13 @@ def q63_token_budget_mix(spark, sf_dir,
     for r in bkt_rows:
         totals[r["lang"]] = totals.get(r["lang"], 0) + r["_u"]
         bsums.setdefault(r["lang"], {})[r["_bkt"]] = r["_u"]
-    # double arithmetic ordered exactly as the oracle's min(total/share)
-    scale = min(totals.get(lg, 0) / s for lg, s in shares.items())
+    # double arithmetic ordered exactly as the oracle's min(total/share);
+    # a stratum with NO data does not constrain the budget (the oracle's
+    # totals-join semantics) — callers detect the violated mixture by the
+    # lang missing from the output, rather than getting an all-empty cut
+    if not totals:
+        return meta.filter(F.lit(False)).select("doc_id", "lang", "n_chars")
+    scale = min(totals[lg] / shares[lg] for lg in totals)
     budgets = {lg: math.floor(s * scale) for lg, s in shares.items()}
 
     full_cond = None

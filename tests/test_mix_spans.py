@@ -30,7 +30,8 @@ def _greedy_reference(rows, shares):
         hashlib.md5(f"q63:{i}".encode()).hexdigest() for i in pdf["doc_id"]
     ]
     totals = pdf.groupby("lang")["n_chars"].sum().to_dict()
-    scale = min(totals.get(lg, 0) / s for lg, s in shares.items())
+    # absent strata don't constrain the budget (oracle totals-join semantics)
+    scale = min(totals[lg] / shares[lg] for lg in totals if lg in shares)
     keep = set()
     for lg, s in shares.items():
         budget = math.floor(s * scale)
@@ -70,6 +71,26 @@ def test_q63_golden_greedy_prefix(spark):
     en_kept = sum(r.n_chars for r in out if r.lang == "en")
     assert en_kept <= 600
     assert not {7, 8} & got
+
+
+def test_q63_absent_stratum_does_not_zero_the_budget(spark):
+    """A mixture lang with NO data must not collapse scale to 0 (the
+    all-empty cut): absent strata are excluded from min(total/share) —
+    the oracle's totals-join semantics — and surface as a missing lang
+    in the output."""
+    from real_time_anomaly_detection_spark.queries import q63_token_budget_mix
+
+    shares = {"en": 0.5, "zh": 0.5}  # zh absent from the corpus
+    rows = [
+        (1, "t", "en", "s", 100), (2, "t", "en", "s", 200),
+        (3, "t", "fr", "s", 999),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, rows, d)
+        out = q63_token_budget_mix(spark, d, shares=shares).collect()
+    # scale = 300/0.5 = 600; en budget floor(0.5*600)=300 -> both docs
+    assert {r.doc_id for r in out} == {1, 2}
+    assert {r.lang for r in out} == {"en"}
 
 
 def test_q63_matches_reference_on_corpus(spark):
