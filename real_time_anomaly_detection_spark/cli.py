@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> None:
                             "robust outlier within its codec group "
                             "(wrong-pairing / truncation detector; "
                             "metadata-only, no extra bytes scan)")
+        p.add_argument("--metadata-integrity", action="store_true",
+                       help="also check payload byte count against what "
+                            "(sr_hz, dur_ms, codec) promise — truncated/"
+                            "padded/misaligned payloads, reference-free; "
+                            "rides the audio family's payload scan when "
+                            "both are on")
         p.add_argument("--min-cps", type=float, default=None,
                        help="speaking-rate lower bound (chars/sec)")
         p.add_argument("--max-cps", type=float, default=None,
@@ -686,7 +692,8 @@ def main(argv: list[str] | None = None) -> None:
     vcfg = engine.ValidationConfig()
     extra_checks = [c for flag, c in (("content_dedup", "content_dedup"),
                                       ("label_consistency", "label_consistency"),
-                                      ("speaking_rate", "speaking_rate"))
+                                      ("speaking_rate", "speaking_rate"),
+                                      ("metadata_integrity", "metadata_integrity"))
                     if getattr(args, flag, False)]
     cps_kw = {}
     if getattr(args, "min_cps", None) is not None:

@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from . import manifest as mf
 from .operators import (audio_checks, content_dedup, drift, label_consistency,
-                        referential, speaking_rate, stats, uniqueness)
+                        metadata_integrity, referential, speaking_rate, stats,
+                        uniqueness)
 from .schemas import PARTITION_VERDICTS, VIOLATIONS
 
 # Persisted DataFrames per validate() run, so callers can unpersist once the
@@ -93,6 +94,14 @@ class ValidationConfig:
     min_cps: float = speaking_rate.MIN_CPS
     max_cps: float = speaking_rate.MAX_CPS
     speaking_rate_groups: tuple[str, ...] = ("codec",)
+    # opt-in 'metadata_integrity': payload byte count vs what
+    # (sr_hz, dur_ms, codec) promise — truncated/padded/misaligned payloads
+    # and metadata lies, reference-free. Rides the PCM pass's Arrow batches
+    # when audio is on (zero extra payload scans); otherwise one map-side
+    # length(bytes) scan (8 bytes/row shuffle, never the payload).
+    # tol widens the accepted sample band by ceil(sr_hz*tol_ms/1000) for
+    # upstreams that round dur_ms instead of truncating (synth truncates).
+    integrity_tol_ms: float = 0.0
     approx: bool = True
     checks: tuple[str, ...] = field(
         default=("column_stats", "uniqueness", "referential", "drift", "audio")
@@ -110,6 +119,8 @@ class ValidationConfig:
             names.append("label_consistency")
         if "speaking_rate" in self.checks:
             names.append("speaking_rate")
+        if "metadata_integrity" in self.checks:
+            names.append("metadata_integrity")
         if "referential" in self.checks:
             names.append("referential")
         if "drift" in self.checks:
@@ -138,6 +149,8 @@ class ValidationConfig:
             names.append("label_consistency")
         if "speaking_rate" in self.checks:
             names.append("speaking_rate")
+        if "metadata_integrity" in self.checks:
+            names.append("metadata_integrity")
         if "referential" in self.checks and refs is not None:
             names.append("referential")
         if "drift" in self.checks and baseline_rows:
@@ -247,9 +260,29 @@ def validate(
                 clips, ref_pcm_fn, cfg.snr_threshold,
                 with_digest="content_dedup" in cfg.checks
                 or "label_consistency" in cfg.checks,
+                with_len="metadata_integrity" in cfg.checks,
             ).persist()
             _PERSISTED[run_id].append(checked)
         _family("audio", _build_pcm)
+
+    if "metadata_integrity" in cfg.checks:
+        def _build_integrity():
+            # rides the PCM pass's payload_len when audio is on (ONE payload
+            # scan for pcm + digest + length); with audio off, a scan-local
+            # length(bytes) projection — the payload itself never shuffles
+            lens = (
+                checked.select(*metadata_integrity._LEN_COLS)
+                if checked is not None and "payload_len" in checked.columns
+                else metadata_integrity.payload_lengths(clips, cfg.part_col)
+            )
+            # persisted: verdicts and violations share the classified rows
+            sig = metadata_integrity.integrity_signals(
+                lens, cfg.integrity_tol_ms
+            ).persist()
+            _PERSISTED[run_id].append(sig)
+            verdicts.append(metadata_integrity.integrity_verdicts(sig))
+            violations.append(metadata_integrity.integrity_violations(sig))
+        _family("metadata_integrity", _build_integrity)
 
     # content_dedup and label_consistency share ONE persisted duplicate-
     # content relation (and, transitively, the PCM pass's digest): the

@@ -53,6 +53,7 @@ def pcm_check(
     ref_pcm_fn: Callable[[str], np.ndarray],
     snr_threshold: float = SNR_THRESHOLD_DB,
     with_digest: bool = False,
+    with_len: bool = False,
 ) -> DataFrame:
     """Per-clip PCM rows: decode + SNR vs reference PCM. No join anywhere —
     scan-local map over Arrow batches.
@@ -65,9 +66,19 @@ def pcm_check(
     sha256(bytes) hex — byte-identical to Catalyst's `sha2(bytes, 256)` — so
     the content_dedup family can ride THIS scan instead of paying a second
     pass over the multi-TB payload column when both checks are enabled
-    (engine.validate wires this automatically)."""
-    projected = clips.select("part_id", "clip_id", "bytes", "codec")
-    schema = _CHECK_SCHEMA + (", content_hash string" if with_digest else "")
+    (engine.validate wires this automatically).
+
+    `with_len=True` additionally passes sr_hz/dur_ms through the batch and
+    emits `payload_len` = len(bytes) — the metadata_integrity family's whole
+    input — so that family, too, rides this ONE payload scan instead of
+    paying its own `length(bytes)` pass (engine.validate wires this)."""
+    extra_meta = ["sr_hz", "dur_ms"] if with_len else []
+    projected = clips.select("part_id", "clip_id", "bytes", "codec", *extra_meta)
+    schema = (
+        _CHECK_SCHEMA
+        + (", content_hash string" if with_digest else "")
+        + (", sr_hz int, dur_ms int, payload_len long" if with_len else "")
+    )
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -103,6 +114,13 @@ def pcm_check(
                     hashlib.sha256(p).hexdigest() if p is not None else None
                     for p in payloads
                 ]
+            if with_len:
+                out["sr_hz"] = pdf["sr_hz"]
+                out["dur_ms"] = pdf["dur_ms"]
+                out["payload_len"] = pd.array(
+                    [len(p) if p is not None else None for p in payloads],
+                    dtype="Int64",
+                )
             yield pd.DataFrame(out)
 
     return projected.mapInPandas(check_batches, schema=schema)
