@@ -219,3 +219,24 @@ def test_runnable_constraints_include_family(spark):
     cfg = engine.ValidationConfig(checks=("column_stats", "metadata_integrity"))
     assert "metadata_integrity" in cfg.constraint_names()
     assert "metadata_integrity" in cfg.runnable_constraints()
+
+
+def test_cli_flag(spark, planted, tmp_path):
+    import os
+
+    from real_time_anomaly_detection_spark import cli
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    planted.write.parquet(inp)
+    cli.main(["validate", "--input", inp, "--out", out, "--metadata-integrity"])
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    fam = {r.part_id: r for r in
+           v.filter(v.constraint == "metadata_integrity").collect()}
+    # part 0 is the three exact-fit clips; part 1 carries every planted defect
+    assert fam[0].status == "pass" and fam[1].status == "fail"
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    bad = {r.clip_id for r in
+           viol.filter(viol.constraint == "metadata_integrity").collect()}
+    # zero_dur promises greatest(floor(0),1)=1 sample but carries 100 -> padded
+    assert bad == {"truncated", "padded", "misaligned", "unknown_codec",
+                   "zero_dur"}
