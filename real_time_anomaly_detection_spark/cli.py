@@ -293,6 +293,23 @@ def main(argv: list[str] | None = None) -> None:
                    help="repetition gate: max duplicate-2-gram occurrence "
                         "fraction")
 
+    p = sub.add_parser("reshard")
+    _add_common(p)
+    p.add_argument("--input", required=True,
+                   help="curated corpus parquet (documents or clips table)")
+    p.add_argument("--out", required=True,
+                   help="training-order layout root: out/shard=K/ parquet, "
+                        "each shard one file stored in pos order")
+    p.add_argument("--id-col", default="doc_id",
+                   help="id column the deterministic shuffle hashes "
+                        "(clips tables: clip_id)")
+    p.add_argument("--n-shards", type=int, default=8,
+                   help="output shards — at scale, corpus bytes / target "
+                        "shard bytes; also the write parallelism unit")
+    p.add_argument("--salt", default="q67",
+                   help="hash salt: a different salt is an independent "
+                        "reshuffle (epoch re-orders without rewriting ids)")
+
     p = sub.add_parser("dedup-apply")
     _add_common(p)
     p.add_argument("--pairs", required=True,
@@ -564,6 +581,16 @@ def main(argv: list[str] | None = None) -> None:
         # terminal mapping: each contained clip -> the TOP of its chain
         ACT.containment_canonical(pairs).write.mode("overwrite").parquet(
             os.path.join(args.out, "canonical")
+        )
+        print(args.out)
+        return
+
+    if args.cmd == "reshard":
+        from .operators import reshard as RS
+
+        RS.write_shards(
+            spark.read.parquet(args.input), args.out, id_col=args.id_col,
+            n_shards=args.n_shards, salt=args.salt,
         )
         print(args.out)
         return

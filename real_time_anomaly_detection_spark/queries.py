@@ -4701,6 +4701,46 @@ FROM w
 """
 
 
+# q67: deterministic training-order resharding — the write-side global
+# shuffle between curation and the trainer. operators/reshard.py carries
+# the full design note; the query surface is the assignment relation.
+_Q67_SHARDS = 8
+
+
+def q67_training_order(spark, sf_dir, n_shards: int = _Q67_SHARDS):
+    """(doc_id, shard, pos): reproducible global shuffle of the corpus as
+    `n_shards` balanced shards — shard = salted-md5 % n (map-side), pos =
+    row_number within shard over an independently-salted md5 order. The
+    trainer reads shards in any interleaving, each in pos order; a re-run
+    (or a rebuilt single shard) is bit-identical because membership and
+    order are pure functions of doc_id.
+
+    Spark shape: the window's hashpartitioning(shard) is the ONLY
+    Exchange and each shard sorts locally/spillably — never orderBy(ord),
+    whose rangepartitioning adds a sampling pass and makes shard contents
+    sample-dependent (plan-pinned: no rangepartitioning). Parallelism
+    unit = n_shards, sized at 100 TB to the target shard bytes (10^4-5)."""
+    from .operators.reshard import training_order
+
+    return training_order(
+        load(spark, sf_dir, "documents"), "doc_id", n_shards=n_shards
+    )
+
+
+_Q67_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('q67s:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_Q67_SHARDS} AS shard,
+         md5('q67o:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            AS BIGINT) AS pos
+FROM a
+"""
+
+
 def _pin_kwargs(fn, **kw):
     """Registry wrapper fixing keyword arguments. The LSH queries' bare
     defaults derive scale-safe banding from the threshold (`_banding_for`);
@@ -4803,6 +4843,7 @@ QUERIES = {
     "q64_dup_span_stats": q64_dup_span_stats,
     "q65_dup_span_removal": q65_dup_span_removal,
     "q66_perplexity_buckets": q66_perplexity_buckets,
+    "q67_training_order": q67_training_order,
 }
 
 ORACLES = {
@@ -4868,6 +4909,7 @@ ORACLES = {
     "q64_dup_span_stats": _Q64_SQL,
     "q65_dup_span_removal": _Q65_SQL,
     "q66_perplexity_buckets": _Q66_SQL,
+    "q67_training_order": _Q67_SQL,
 }
 
 
