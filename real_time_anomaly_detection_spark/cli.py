@@ -293,6 +293,20 @@ def main(argv: list[str] | None = None) -> None:
                    help="repetition gate: max duplicate-2-gram occurrence "
                         "fraction")
 
+    p = sub.add_parser("run-diff")
+    _add_common(p)
+    p.add_argument("--prev", help="previous run's verdicts parquet dir")
+    p.add_argument("--cur", help="current run's verdicts parquet dir")
+    p.add_argument("--manifest",
+                   help="alternative source: manifest dir (with --run-prev/"
+                        "--run-cur; latest append per key wins)")
+    p.add_argument("--run-prev", help="manifest run_id of the baseline run")
+    p.add_argument("--run-cur", help="manifest run_id of the current run")
+    p.add_argument("--out", help="optional output root: diff/ + rollup/")
+    p.add_argument("--max-print", type=int, default=50,
+                   help="cap on regression lines in the console summary "
+                        "(the full diff goes to --out, never the driver)")
+
     p = sub.add_parser("reshard")
     _add_common(p)
     p.add_argument("--input", required=True,
@@ -583,6 +597,43 @@ def main(argv: list[str] | None = None) -> None:
             os.path.join(args.out, "canonical")
         )
         print(args.out)
+        return
+
+    if args.cmd == "run-diff":
+        from pyspark.sql import functions as F
+
+        from . import manifest as MF
+        from . import report as RP
+
+        if args.manifest:
+            if not (args.run_prev and args.run_cur):
+                raise SystemExit("--manifest needs --run-prev and --run-cur")
+            m = MF.read_manifest(spark, args.manifest)
+            prev = MF.run_verdicts(m, args.run_prev)
+            cur = MF.run_verdicts(m, args.run_cur)
+        elif args.prev and args.cur:
+            prev = spark.read.parquet(args.prev)
+            cur = spark.read.parquet(args.cur)
+        else:
+            raise SystemExit("need --prev/--cur or --manifest + run ids")
+        diff = RP.run_diff(prev, cur)
+        if args.out:
+            diff.write.mode("overwrite").parquet(os.path.join(args.out, "diff"))
+            diff = spark.read.parquet(os.path.join(args.out, "diff"))
+            RP.run_diff_rollup(diff).write.mode("overwrite").parquet(
+                os.path.join(args.out, "rollup")
+            )
+        # driver sees only the tiny rollup + a capped regression sample —
+        # the full diff stays distributed (written above, never collected)
+        rollup_rows = RP.run_diff_rollup(diff).collect()
+        reg = (
+            diff.filter(F.col("transition") == "regressed")
+            .limit(args.max_print)
+            .collect()
+        )
+        print(RP.diff_text_summary(reg, rollup_rows))
+        if args.out:
+            print(args.out)
         return
 
     if args.cmd == "reshard":

@@ -61,3 +61,28 @@ def pending_partitions(
     """all_parts ANTI completed — the work remaining (SURVEY.md §2.7)."""
     done = completed_partitions(manifest, n_constraints)
     return all_parts.select("part_id").distinct().join(done, "part_id", "left_anti")
+
+
+def run_verdicts(manifest: DataFrame, run_id: str) -> DataFrame:
+    """One PARTITION_VERDICTS-shaped row per (part_id, constraint) for
+    `run_id`, keeping the LATEST append — a resumed/retried run appends the
+    same key again and the retry outcome supersedes (same keep-latest
+    semantics as sinks.upsert_parquet). Feeds report.run_diff so two runs
+    can be compared straight off the lineage store; `detail` is not part of
+    the manifest schema and comes back null."""
+    return (
+        manifest.filter(F.col("run_id") == run_id)
+        .groupBy("part_id", "constraint")
+        .agg(
+            F.max_by(
+                F.struct("status", "metrics"), F.col("finished_at")
+            ).alias("_s")
+        )
+        .select(
+            "part_id",
+            "constraint",
+            F.col("_s.status").alias("status"),
+            F.col("_s.metrics").alias("metrics"),
+            F.lit(None).cast("string").alias("detail"),
+        )
+    )

@@ -210,3 +210,127 @@ def write_report(
     with open(path, "w") as f:
         json.dump(doc, f, indent=2, default=str)
     return doc
+
+
+# ---------------------------------------------------------------------------
+# Run-over-run regression diff — the temporal report a continuously-validated
+# corpus needs: WHAT newly broke since the previous run, what was fixed, and
+# what is still failing. The reference keeps per-cycle status history in
+# collection_log (streaming_collector_sqlite.py:120-129) but never compares
+# cycles; this closes that loop over the manifest/verdict lineage.
+#
+# Scale shape: verdict relations are metadata-scale (partitions x
+# constraints, never corpus rows), but at 10^6 partitions x ~10 constraints
+# that is still 10^7 rows — so the diff is ONE full-outer shuffle join on
+# (part_id, constraint) with no broadcast assumption (AQE picks), and the
+# per-metric deltas are a map_zip_with expression, not Python. Nothing is
+# collected; the rollup is one more hash agg.
+
+#: transition labels, most-actionable first (rollup orders by this)
+_TRANSITIONS = (
+    "regressed", "new", "still_failing", "removed", "fixed", "improved",
+    "unchanged",
+)
+
+
+def run_diff(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Per-(part_id, constraint) transition between two verdict relations.
+
+    transition semantics (severity order error > fail > insufficient > pass):
+    - ``new`` / ``removed``  constraint+partition present on one side only
+    - ``regressed``          severity rose (incl. pass -> fail/error)
+    - ``fixed``              severity fell all the way to pass
+    - ``improved``           severity fell but not to pass (error -> fail,
+                             fail -> insufficient_data)
+    - ``still_failing``      equal severity >= fail on both sides
+    - ``unchanged``          equal severity below fail (pass -> pass,
+                             insufficient -> insufficient)
+
+    ``metric_delta`` is cur - prev per shared metric key (map_zip_with; a
+    key present on one side only deltas to null, rows present on one side
+    only carry a null map). ``detail_cur`` rides along so the regression
+    list is actionable without a second join."""
+    a = prev.select(
+        "part_id", "constraint",
+        F.col("status").alias("status_prev"),
+        F.col("metrics").alias("_m_prev"),
+    )
+    b = cur.select(
+        "part_id", "constraint",
+        F.col("status").alias("status_cur"),
+        F.col("metrics").alias("_m_cur"),
+        F.col("detail").alias("detail_cur"),
+    )
+    j = a.join(b, ["part_id", "constraint"], "full_outer")
+
+    def sev(c):
+        return (
+            F.when(c == "error", 3)
+            .when(c == "fail", 2)
+            .when(c == "insufficient_data", 1)
+            .otherwise(0)
+        )
+
+    sp, sc = sev(F.col("status_prev")), sev(F.col("status_cur"))
+    transition = (
+        F.when(F.col("status_prev").isNull(), F.lit("new"))
+        .when(F.col("status_cur").isNull(), F.lit("removed"))
+        .when(sc > sp, F.lit("regressed"))
+        .when((sc < sp) & (sc == 0), F.lit("fixed"))
+        .when(sc < sp, F.lit("improved"))
+        .when(sc >= 2, F.lit("still_failing"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.map_zip_with("_m_prev", "_m_cur", lambda k, x, y: y - x)
+    return j.select(
+        "part_id",
+        "constraint",
+        "status_prev",
+        "status_cur",
+        transition.alias("transition"),
+        delta.alias("metric_delta"),
+        "detail_cur",
+    )
+
+
+def run_diff_rollup(diff: DataFrame) -> DataFrame:
+    """Per-constraint transition counts — 'which check family regressed
+    fleet-wide' in one relation, ordered worst-first."""
+    agg = diff.groupBy("constraint").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        *[
+            F.count_if(F.col("transition") == t).cast("bigint").alias(f"n_{t}")
+            for t in _TRANSITIONS
+        ],
+    )
+    return agg.orderBy(
+        F.desc("n_regressed"), F.desc("n_new"), F.desc("n_still_failing"),
+        "constraint",
+    )
+
+
+def diff_text_summary(diff_rows: list, rollup_rows: list) -> str:
+    """Console rendering of a collected run-diff (driver-side presentation,
+    same contract as text_summary — callers bound the collect)."""
+    lines = ["=" * 64, "RUN DIFF", "=" * 64]
+    for r in rollup_rows:
+        interesting = r.n_regressed or r.n_new or r.n_still_failing or r.n_fixed
+        if not interesting:
+            continue
+        lines.append(
+            f"{r.constraint:<24} regressed: {r.n_regressed}  new: {r.n_new}  "
+            f"still_failing: {r.n_still_failing}  fixed: {r.n_fixed}"
+        )
+    regressions = [r for r in diff_rows if r.transition == "regressed"]
+    if regressions:
+        lines.append("-" * 64)
+        for r in regressions:
+            detail = f" — {r.detail_cur}" if r.detail_cur else ""
+            lines.append(
+                f"partition {r.part_id}: {r.constraint} "
+                f"{r.status_prev} -> {r.status_cur}{detail}"
+            )
+    else:
+        lines.append("no regressions")
+    lines.append("=" * 64)
+    return "\n".join(lines)
