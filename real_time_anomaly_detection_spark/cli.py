@@ -293,6 +293,18 @@ def main(argv: list[str] | None = None) -> None:
                    help="repetition gate: max duplicate-2-gram occurrence "
                         "fraction")
 
+    p = sub.add_parser("normalize")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="normalized corpus parquet (same schema + gain_db, "
+                        "peak_limited)")
+    p.add_argument("--target-rms-db", type=float, default=-20.0,
+                   help="target loudness (dBFS)")
+    p.add_argument("--peak-limit", type=float, default=0.99,
+                   help="post-gain |sample| ceiling — the limiter wins over "
+                        "the target when they conflict")
+
     p = sub.add_parser("run-diff")
     _add_common(p)
     p.add_argument("--prev", help="previous run's verdicts parquet dir")
@@ -596,6 +608,17 @@ def main(argv: list[str] | None = None) -> None:
         ACT.containment_canonical(pairs).write.mode("overwrite").parquet(
             os.path.join(args.out, "canonical")
         )
+        print(args.out)
+        return
+
+    if args.cmd == "normalize":
+        from .operators import audio_normalize as AN
+
+        AN.normalize_gain(
+            spark.read.parquet(args.input),
+            target_rms_db=args.target_rms_db,
+            peak_limit=args.peak_limit,
+        ).write.mode("overwrite").parquet(args.out)
         print(args.out)
         return
 
