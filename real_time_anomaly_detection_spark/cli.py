@@ -305,6 +305,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="post-gain |sample| ceiling — the limiter wins over "
                         "the target when they conflict")
 
+    p = sub.add_parser("resample")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="rate-unified corpus parquet (same schema, sr_hz = "
+                        "target, + src_sr_hz lineage)")
+    p.add_argument("--target-sr", type=int, default=16000,
+                   help="target sample rate (Hz); already-at-target clips "
+                        "pass through verbatim")
+
     p = sub.add_parser("run-diff")
     _add_common(p)
     p.add_argument("--prev", help="previous run's verdicts parquet dir")
@@ -618,6 +628,15 @@ def main(argv: list[str] | None = None) -> None:
             spark.read.parquet(args.input),
             target_rms_db=args.target_rms_db,
             peak_limit=args.peak_limit,
+        ).write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return
+
+    if args.cmd == "resample":
+        from .operators import audio_resample as AR
+
+        AR.resample_clips(
+            spark.read.parquet(args.input), target_sr=args.target_sr
         ).write.mode("overwrite").parquet(args.out)
         print(args.out)
         return

@@ -1,0 +1,148 @@
+"""Sample-rate unification — resample every clip to one target rate.
+
+A web-crawled speech corpus arrives at whatever rate each source captured
+(the synth corpus models this: 8/16/22.05/44.1 kHz mixed); training wants
+ONE rate so batches stack into fixed-shape tensors. This op resamples each
+clip's decoded PCM to `target_sr` and re-encodes in the ORIGINAL codec,
+rewriting `sr_hz` to the target while `dur_ms` (wall-clock length) is
+unchanged. The output length is the canonical metadata promise
+max(1, floor(target_sr * dur_ms / 1000)) PLUS the input's own deviation
+from its promise scaled by the rate ratio — so a clip's
+`validate --metadata-integrity` verdict is INVARIANT under resampling:
+ok stays ok (bit-exact on the length), truncated stays truncated, padded
+stays padded. Rewriting everything to the promise would silently launder
+corrupt uploads into "ok"; keeping the raw rational length round(n*ratio)
+would flip ±1-sample verdicts on non-round durations. Neither is what a
+validation engine wants.
+
+Method: linear interpolation at the exact rational positions
+`i * sr_in / sr_out`, preceded — on DOWNsampling only — by a box
+(moving-average) low-pass of width ceil(sr_in/sr_out) to knock down the
+aliasing a bare decimator would fold into the pass band. This is the
+deterministic pure-numpy choice: the sandbox has no scipy/soxr, and a
+production swap-in (polyphase FIR) would change only `resample()` — the
+Spark surface, schema, and scan shape stay identical. Clips already at the
+target rate pass through with their ORIGINAL bytes verbatim (no lossy
+companded re-encode is paid or imposed on them).
+
+No reference-repo analog (scalar weather payloads); beyond-the-reference
+audio pipeline op, same family as `audio_normalize` (gain) — this is the
+time-axis twin.
+
+Scale shape (the pcm_check/normalize convention): ONE mapInPandas scan,
+decode -> numpy -> re-encode inside the scan task, zero shuffles; `bytes`
+never leaves its task, so the op composes with a direct `.write` into a
+map-only job at any corpus size. Undecodable clips emit nothing (decode
+ERROR reporting is audio_checks' job; a clip with no usable payload has no
+place in the resampled corpus).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..audio import codecs
+
+TARGET_SR = 16000
+
+
+def resample(x: np.ndarray, sr_in: int, sr_out: int,
+             n_out: int | None = None) -> np.ndarray:
+    """Pure-numpy spec: `x` at `sr_in` Hz -> same signal at `sr_out` Hz.
+
+    Default output length is round(n * sr_out / sr_in); `n_out` overrides
+    it when the caller owes a specific count (the Spark surface passes the
+    metadata-derived promise so integrity verdicts survive the rewrite).
+    Unit-testable; the Spark surface applies exactly this per row."""
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"sample rates must be positive, got {sr_in}->{sr_out}")
+    n = int(x.shape[0])
+    if n_out is None:
+        n_out = n if sr_in == sr_out else int(round(n * sr_out / sr_in))
+    if sr_in == sr_out and n_out == n:
+        return x
+    if n == 0:
+        return np.zeros(n_out, dtype=np.float64)
+    if sr_out < sr_in:  # anti-alias: box low-pass at the decimation width
+        w = int(np.ceil(sr_in / sr_out))
+        if w > 1:
+            kernel = np.full(w, 1.0 / w)
+            x = np.convolve(x, kernel, mode="same")
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    return x[i0] * (1.0 - frac) + x[i1] * frac
+
+
+def resample_clips(clips: DataFrame, target_sr: int = TARGET_SR) -> DataFrame:
+    """The clips table with every payload at `target_sr`: `bytes` resampled
+    + re-encoded in the row's own codec, `sr_hz` set to the target,
+    `src_sr_hz` carrying the original rate for lineage. All other columns
+    ride through unchanged, so the output is a drop-in corpus.
+
+    Already-at-target clips keep their exact original payload."""
+    if target_sr <= 0:
+        raise ValueError(f"target_sr must be positive, got {target_sr}")
+    in_cols = list(clips.columns)
+    out_fields = []
+    for f in clips.schema.fields:
+        if f.name == "sr_hz":
+            out_fields.append(T.StructField("sr_hz", T.IntegerType()))
+        else:
+            out_fields.append(f)
+    out_schema = T.StructType(out_fields + [T.StructField("src_sr_hz", T.IntegerType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["bytes"].to_numpy()
+            codec_col = pdf["codec"].to_numpy()
+            sr_col = pdf["sr_hz"].to_numpy()
+            dur_col = pdf["dur_ms"].to_numpy()
+            keep, new_bytes, src_sr = [], [], []
+            for k in range(len(pdf)):
+                sr = sr_col[k]
+                if sr is None or pd.isna(sr):
+                    continue  # no stated rate: nothing to resample FROM
+                sr = int(sr)
+                try:
+                    x = codecs.decode(payloads[k], codec_col[k])
+                except Exception:  # noqa: BLE001 — drop, don't abort the task
+                    continue
+                if sr == target_sr:
+                    b = payloads[k]  # pass-through: original bytes verbatim
+                else:
+                    dur = dur_col[k]
+                    if dur is None or pd.isna(dur):
+                        n_out = None  # no promise to honor: rational length
+                    else:
+                        # promise at target + the input's deviation from ITS
+                        # promise, rate-scaled: integrity verdict invariant.
+                        p_in = max(1, int(sr * int(dur) // 1000))
+                        p_out = max(1, int(target_sr * int(dur) // 1000))
+                        raw = int(x.shape[0]) - p_in
+                        # rate-scale the deviation but never round a real
+                        # deficit/excess down to zero — truncated stays
+                        # truncated even when it is <1 output sample.
+                        dev = int(round(raw * target_sr / sr))
+                        if raw != 0 and dev == 0:
+                            dev = 1 if raw > 0 else -1
+                        n_out = max(0, p_out + dev)
+                    b = codecs.encode(
+                        resample(x, sr, target_sr, n_out=n_out), codec_col[k]
+                    )
+                keep.append(k)
+                new_bytes.append(b)
+                src_sr.append(sr)
+            out = pdf.iloc[keep].copy()
+            out["bytes"] = new_bytes
+            out["sr_hz"] = np.array([target_sr] * len(keep), dtype=np.int32)
+            out["src_sr_hz"] = np.array(src_sr, dtype=np.int32)
+            yield out[in_cols + ["src_sr_hz"]]
+
+    return clips.mapInPandas(batches, schema=out_schema)
