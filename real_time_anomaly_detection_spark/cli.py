@@ -315,6 +315,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="target sample rate (Hz); already-at-target clips "
                         "pass through verbatim")
 
+    p = sub.add_parser("trim")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="edge-silence-trimmed corpus parquet (dur_ms "
+                        "rewritten to the kept span, + src_dur_ms / "
+                        "trimmed_*_ms / all_silent audit columns)")
+    p.add_argument("--frame-ms", type=int, default=20,
+                   help="silence-detection frame length (ms)")
+    p.add_argument("--rel-db", type=float, default=-30.0,
+                   help="a frame is silent when its RMS is this many dB "
+                        "under the clip's peak frame (negative)")
+
     p = sub.add_parser("run-diff")
     _add_common(p)
     p.add_argument("--prev", help="previous run's verdicts parquet dir")
@@ -637,6 +650,17 @@ def main(argv: list[str] | None = None) -> None:
 
         AR.resample_clips(
             spark.read.parquet(args.input), target_sr=args.target_sr
+        ).write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return
+
+    if args.cmd == "trim":
+        from .operators import audio_trim as AT
+
+        AT.trim_silence(
+            spark.read.parquet(args.input),
+            frame_ms=args.frame_ms,
+            rel_db=args.rel_db,
         ).write.mode("overwrite").parquet(args.out)
         print(args.out)
         return
