@@ -328,6 +328,25 @@ def main(argv: list[str] | None = None) -> None:
                    help="a frame is silent when its RMS is this many dB "
                         "under the clip's peak frame (negative)")
 
+    p = sub.add_parser("curate-audio")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="curated corpus parquet: trimmed + rate-unified + "
+                        "loudness-unified in ONE payload pass (union of the "
+                        "three ops' audit columns)")
+    p.add_argument("--no-trim", action="store_true",
+                   help="skip the edge-silence trim stage")
+    p.add_argument("--no-resample", action="store_true",
+                   help="skip the sample-rate unification stage")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="skip the loudness normalization stage")
+    p.add_argument("--frame-ms", type=int, default=20)
+    p.add_argument("--rel-db", type=float, default=-30.0)
+    p.add_argument("--target-sr", type=int, default=16000)
+    p.add_argument("--target-rms-db", type=float, default=-20.0)
+    p.add_argument("--peak-limit", type=float, default=0.99)
+
     p = sub.add_parser("run-diff")
     _add_common(p)
     p.add_argument("--prev", help="previous run's verdicts parquet dir")
@@ -661,6 +680,23 @@ def main(argv: list[str] | None = None) -> None:
             spark.read.parquet(args.input),
             frame_ms=args.frame_ms,
             rel_db=args.rel_db,
+        ).write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return
+
+    if args.cmd == "curate-audio":
+        from .operators import audio_pipeline as AP
+
+        AP.curate_clips(
+            spark.read.parquet(args.input),
+            trim=not args.no_trim,
+            frame_ms=args.frame_ms,
+            rel_db=args.rel_db,
+            do_resample=not args.no_resample,
+            target_sr=args.target_sr,
+            normalize=not args.no_normalize,
+            target_rms_db=args.target_rms_db,
+            peak_limit=args.peak_limit,
         ).write.mode("overwrite").parquet(args.out)
         print(args.out)
         return

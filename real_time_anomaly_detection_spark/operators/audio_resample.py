@@ -80,6 +80,23 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int,
     return x[i0] * (1.0 - frac) + x[i1] * frac
 
 
+def resample_n_out(n: int, sr: int, dur_ms: int | None, target_sr: int) -> int | None:
+    """Output sample count for resampling an n-sample clip at `sr` whose
+    metadata promises `dur_ms`: the canonical promise at the target rate
+    PLUS the input's rate-scaled deviation from ITS promise, sign-preserved
+    (never rounded to zero) so the metadata-integrity verdict is invariant.
+    None (rational default round(n*ratio)) when there is no dur to honor."""
+    if dur_ms is None:
+        return None
+    p_in = max(1, sr * int(dur_ms) // 1000)
+    p_out = max(1, target_sr * int(dur_ms) // 1000)
+    raw = n - p_in
+    dev = int(round(raw * target_sr / sr))
+    if raw != 0 and dev == 0:
+        dev = 1 if raw > 0 else -1
+    return max(0, p_out + dev)
+
+
 def resample_clips(clips: DataFrame, target_sr: int = TARGET_SR) -> DataFrame:
     """The clips table with every payload at `target_sr`: `bytes` resampled
     + re-encoded in the row's own codec, `sr_hz` set to the target,
@@ -118,21 +135,8 @@ def resample_clips(clips: DataFrame, target_sr: int = TARGET_SR) -> DataFrame:
                     b = payloads[k]  # pass-through: original bytes verbatim
                 else:
                     dur = dur_col[k]
-                    if dur is None or pd.isna(dur):
-                        n_out = None  # no promise to honor: rational length
-                    else:
-                        # promise at target + the input's deviation from ITS
-                        # promise, rate-scaled: integrity verdict invariant.
-                        p_in = max(1, int(sr * int(dur) // 1000))
-                        p_out = max(1, int(target_sr * int(dur) // 1000))
-                        raw = int(x.shape[0]) - p_in
-                        # rate-scale the deviation but never round a real
-                        # deficit/excess down to zero — truncated stays
-                        # truncated even when it is <1 output sample.
-                        dev = int(round(raw * target_sr / sr))
-                        if raw != 0 and dev == 0:
-                            dev = 1 if raw > 0 else -1
-                        n_out = max(0, p_out + dev)
+                    dur = None if dur is None or pd.isna(dur) else int(dur)
+                    n_out = resample_n_out(int(x.shape[0]), sr, dur, target_sr)
                     b = codecs.encode(
                         resample(x, sr, target_sr, n_out=n_out), codec_col[k]
                     )
