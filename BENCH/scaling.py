@@ -327,6 +327,37 @@ print("RESULT " + json.dumps({"cores": cores, "sec": sec, "n_clips": n,
 """
 
 
+_CHILD_CURATE = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["RTAD_REPO"])
+import bench  # reuse the cached bench clips table (synthesized once)
+from real_time_anomaly_detection_spark.operators import audio_pipeline as AP
+from real_time_anomaly_detection_spark.session import get_spark
+
+cores = int(os.environ["RTAD_CORES"])
+n_clips = int(os.environ["RTAD_CLIPS"])
+spark = get_spark(f"rtad-curatescaling-{cores}", cores=cores,
+                  shuffle_partitions=max(cores, 8))
+_, clips, _ = bench.clips_table(spark, n_clips)
+n = clips.count()
+
+def run_once():
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(2)
+    t0 = time.perf_counter()
+    # noop write = full evaluation incl. the re-encode (a count would
+    # column-prune bytes derivation is the whole cost here anyway)
+    AP.curate_clips(clips).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+run_once()  # warm-up
+sec = sorted(run_once() for _ in range(3))[1]
+print("RESULT " + json.dumps({"cores": cores, "sec": sec, "n_clips": n,
+                              "clips_per_sec": n / sec}))
+"""
+
+
 def _burn(n: int) -> int:
     x = 0
     for _ in range(n):
@@ -513,13 +544,52 @@ payload-scale — so the pipeline tracks the machine's scaling envelope.
 """)
 
 
+def main_curate(args, lo: int, hi: int) -> None:
+    """Scaling evidence for the fused payload-rewrite pipeline
+    (curate-audio: trim + resample + normalize in one mapInPandas scan —
+    map-only, zero shuffles, so its floor is the machine ceiling; this is
+    the op a 100 TB corpus pays per-byte, which is why it must track the
+    envelope). APPENDS to the report."""
+    ceiling = measure_ceiling(lo, hi)
+    mem_ceiling = measure_mem_ceiling(lo, hi)
+    r_lo = run_level(lo, args.clips, child=_CHILD_CURATE)
+    r_hi = run_level(hi, args.clips, child=_CHILD_CURATE)
+    eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (hi / lo)
+    print(json.dumps({"N": r_lo, "4N": r_hi, "efficiency": round(eff, 3),
+                      "cpu_ceiling": round(ceiling["ceiling"], 3),
+                      "mem_ceiling": round(mem_ceiling, 3)}))
+    with open(args.out, "a") as f:
+        f.write(f"""
+## Fused curation pipeline pair: local[{lo}] -> local[{hi}] (round 6)
+
+Same protocol (separate processes, warm-up + median of 3, cache cleared +
+driver GC before every timed run) on the fused payload-rewrite pipeline
+(`curate-audio`: edge-silence trim + anti-aliased resample to 16 kHz +
+peak-safe loudness normalization, ONE decode->numpy->encode mapInPandas
+scan, noop sink so the re-encode is fully evaluated) over
+{r_lo['n_clips']} synthesized clips.
+
+| parallelism | wall sec (median) | clips/sec |
+| --- | --- | --- |
+| local[{lo}] | {r_lo['sec']:.2f} | {r_lo['clips_per_sec']:.1f} |
+| local[{hi}] | {r_hi['sec']:.2f} | {r_hi['clips_per_sec']:.1f} |
+
+**Fused-curation scaling efficiency = {eff:.3f}** (pure-CPU ceiling for
+this pair {ceiling['ceiling']:.3f}, memory-bandwidth ceiling
+{mem_ceiling:.3f}; engine/CPU-ceiling = {eff / ceiling['ceiling']:.3f}).
+Map-only with zero Exchanges — per-task cost is pure decode/numpy/encode,
+so throughput is expected to track the machine envelope and the same job
+shape extends to any executor count by adding input splits.
+""")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=40000)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     ap.add_argument("--mode", choices=["validate", "neardup", "audio",
-                                       "vocab", "spans"],
+                                       "vocab", "spans", "curate"],
                     default="validate")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.cores.split(","))
@@ -536,6 +606,9 @@ def main() -> None:
     if args.mode == "spans":
         main_spans(args, lo, hi)
         return
+    if args.mode == "curate":
+        main_curate(args, lo, hi)
+        return
 
     # preserve manually-appended / neardup-mode sections across a validate
     # rewrite: everything from the first secondary '## ' heading onward
@@ -546,7 +619,8 @@ def main() -> None:
                        "\n## What changed", "\n## Near-dup family pair",
                        "\n## Audio near-dup pair",
                        "\n## Vocabulary/LM family pair",
-                       "\n## Exact-substring dedup family pair"):
+                       "\n## Exact-substring dedup family pair",
+                       "\n## Fused curation pipeline pair"):
             i = prev.find(marker)
             if i >= 0:
                 tail = prev[i:]

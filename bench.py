@@ -380,6 +380,26 @@ def bench_audio_neardup(spark, n_clips: int) -> tuple[list[float], int]:
     return sorted(times), n_pairs
 
 
+def bench_audio_curate(spark, n_clips: int) -> list[float]:
+    """Time the fused payload-rewrite pipeline (curate-audio: trim +
+    resample + normalize in ONE mapInPandas scan) over the SAME bench
+    clips table. noop sink — a count() would prune nothing here either,
+    but the noop write is the established full-evaluation convention."""
+    from real_time_anomaly_detection_spark.operators import (
+        audio_pipeline as AP,
+    )
+
+    _, clips, _ = clips_table(spark, n_clips)
+    times = []
+    for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        AP.curate_clips(clips).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -450,6 +470,14 @@ def main() -> None:
         "max": round(atimes[-1], 3), "runs": len(atimes),
     }
 
+    ctimes = bench_audio_curate(spark, n_clips)
+    csec = ctimes[len(ctimes) // 2]
+    qtimes["audio_curate"] = round(csec, 3)
+    envelope["audio_curate"] = {
+        "median": round(csec, 3), "min": round(ctimes[0], 3),
+        "max": round(ctimes[-1], 3), "runs": len(ctimes),
+    }
+
     total = round(sum(qtimes.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     q46x = q46_evidence(spark, sf_dir) if "q46_ann_ivf_trained" in names else None
@@ -492,6 +520,10 @@ def main() -> None:
                         "n_clips": vrows,
                         "n_pairs": n_audio_pairs,
                         "clips_per_sec": round(vrows / asec, 1),
+                    },
+                    "audio_curate": {
+                        "n_clips": vrows,
+                        "clips_per_sec": round(vrows / csec, 1),
                     },
                 },
             }
