@@ -154,6 +154,24 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--manifest", help="append per-epoch verdict lineage here")
     _add_synth_oracle(p)
 
+    p = sub.add_parser("stream-curate")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="parquet dir watched as a stream")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True,
+                   help="curated-corpus root: one epoch_id=N partition dir "
+                        "per micro-batch (fused trim+resample+normalize)")
+    p.add_argument("--no-trim", action="store_true")
+    p.add_argument("--no-resample", action="store_true")
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--target-sr", type=int, default=16000)
+    p.add_argument("--target-rms-db", type=float, default=-20.0)
+    p.add_argument("--continuous", action="store_true",
+                   help="keep running on a processing-time trigger; default "
+                        "drains available input and exits")
+    p.add_argument("--trigger", default="600 seconds")
+    p.add_argument("--max-files-per-trigger", type=int)
+
     p = sub.add_parser("stream-detect")
     _add_common(p)
     p.add_argument("--input", required=True, help="parquet dir watched as a stream")
@@ -698,6 +716,29 @@ def main(argv: list[str] | None = None) -> None:
             target_rms_db=args.target_rms_db,
             peak_limit=args.peak_limit,
         ).write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return
+
+    if args.cmd == "stream-curate":
+        from .streaming import incremental
+
+        q = incremental.stream_curate(
+            spark,
+            args.input,
+            args.checkpoint,
+            args.out,
+            curate_kwargs=dict(
+                trim=not args.no_trim,
+                do_resample=not args.no_resample,
+                target_sr=args.target_sr,
+                normalize=not args.no_normalize,
+                target_rms_db=args.target_rms_db,
+            ),
+            available_now=not args.continuous,
+            processing_time=args.trigger,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
         print(args.out)
         return
 

@@ -99,6 +99,55 @@ def stream_validate(
     return writer.start()
 
 
+def stream_curate(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    curate_kwargs: dict | None = None,
+    available_now: bool = True,
+    processing_time: str = "600 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """Curation AT INGEST: run the fused payload-rewrite pipeline
+    (audio_pipeline.curate_clips — trim + resample + normalize, one scan)
+    over each micro-batch of newly-arrived clip files, writing the curated
+    shard under its own `epoch_id=<n>` partition directory. At corpus
+    scale curation is a per-byte cost you want to pay exactly once, when
+    the shard ARRIVES — not by re-scanning the accumulated corpus — and
+    the fused op is map-only, so per-epoch cost tracks arrival volume
+    with zero state. Same exactly-once story as stream_validate: the
+    file-source checkpoint guarantees one successful processing per input
+    file, and epoch-keyed overwrite makes foreachBatch retries idempotent.
+    Returns the StreamingQuery."""
+    from ..operators import audio_pipeline as AP
+
+    kw = dict(curate_kwargs or {})
+    reader = spark.readStream.schema(CLIPS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates(["clip_id", "part_id"])
+        (
+            AP.curate_clips(batch_df, **kw)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch_id={epoch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def windowed_stats(
     events: DataFrame,
     ts_col: str = "ts",
