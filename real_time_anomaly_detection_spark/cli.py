@@ -365,6 +365,22 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--target-rms-db", type=float, default=-20.0)
     p.add_argument("--peak-limit", type=float, default=0.99)
 
+    p = sub.add_parser("augment")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="augmented corpus parquet: one row per (clip, "
+                        "variant), clip_id suffixed #<variant>, "
+                        "src_clip_id/variant lineage")
+    p.add_argument("--speeds", default="0.9,1.1",
+                   help="comma-separated speed-perturb factors "
+                        "(empty string = none)")
+    p.add_argument("--noise-snr-db", type=float, default=None,
+                   help="also emit an additive-noise variant at this SNR "
+                        "(deterministic per clip)")
+    p.add_argument("--drop-original", action="store_true",
+                   help="emit only the variants, not the source rows")
+
     p = sub.add_parser("run-diff")
     _add_common(p)
     p.add_argument("--prev", help="previous run's verdicts parquet dir")
@@ -715,6 +731,19 @@ def main(argv: list[str] | None = None) -> None:
             normalize=not args.no_normalize,
             target_rms_db=args.target_rms_db,
             peak_limit=args.peak_limit,
+        ).write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return
+
+    if args.cmd == "augment":
+        from .operators import audio_augment as AA
+
+        speeds = tuple(float(s) for s in args.speeds.split(",") if s)
+        AA.augment_clips(
+            spark.read.parquet(args.input),
+            speeds=speeds,
+            noise_snr_db=args.noise_snr_db,
+            keep_original=not args.drop_original,
         ).write.mode("overwrite").parquet(args.out)
         print(args.out)
         return
