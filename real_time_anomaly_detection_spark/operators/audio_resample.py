@@ -72,7 +72,12 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int,
         w = int(np.ceil(sr_in / sr_out))
         if w > 1:
             kernel = np.full(w, 1.0 / w)
-            x = np.convolve(x, kernel, mode="same")
+            # edge-replicate padding: mode="same" zero-padding would fade
+            # the first/last w/2 samples toward 0 (a convolve-boundary
+            # artifact, not signal); replication keeps every output sample
+            # a convex average of REAL input values.
+            pad = np.pad(x, (w // 2, w - 1 - w // 2), mode="edge")
+            x = np.convolve(pad, kernel, mode="valid")
     pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
     i0 = np.minimum(pos.astype(np.int64), n - 1)
     i1 = np.minimum(i0 + 1, n - 1)

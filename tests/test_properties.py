@@ -228,3 +228,90 @@ def test_md5_top60_sliding_multi_crosses_chunk_boundary():
     for b, c in zip(bufs, counts):
         assert np.array_equal(vals[off : off + c], _ref_top60(b, 16))
         off += c
+
+
+# ---- payload-rewrite family specs (r6) -----------------------------------
+
+from real_time_anomaly_detection_spark.operators import (  # noqa: E402
+    audio_augment,
+    audio_resample,
+    audio_trim,
+)
+
+_rates = st.sampled_from([8000, 16000, 22050, 44100, 48000])
+
+
+@settings(max_examples=80, deadline=None)
+@given(x=signals, sr_in=_rates, sr_out=_rates)
+def test_resample_default_length_and_range(x, sr_in, sr_out):
+    """Default output length is round(n * ratio); linear interpolation of an
+    in-range signal (even after the box low-pass, a convex average) never
+    leaves the input's value range."""
+    y = audio_resample.resample(x, sr_in, sr_out)
+    assert y.shape[0] == (x.shape[0] if sr_in == sr_out
+                          else round(x.shape[0] * sr_out / sr_in))
+    assert y.min() >= x.min() - 1e-12 and y.max() <= x.max() + 1e-12
+
+
+@settings(max_examples=80, deadline=None)
+@given(n=st.integers(min_value=0, max_value=10_000_000),
+       sr=_rates, dur_ms=st.integers(min_value=0, max_value=600_000),
+       target=_rates)
+def test_resample_n_out_verdict_invariant(n, sr, dur_ms, target):
+    """The deviation-scaled output length preserves the SIGN of the clip's
+    deviation from its metadata promise — the integrity verdict
+    (truncated / ok / padded) survives any rate change."""
+    p_in = max(1, sr * dur_ms // 1000)
+    p_out = max(1, target * dur_ms // 1000)
+    n_out = audio_resample.resample_n_out(n, sr, dur_ms, target)
+    assert n_out >= 0
+    assert np.sign(n_out - p_out) == np.sign(n - p_in)
+
+
+@settings(max_examples=80, deadline=None)
+@given(n_raw=st.integers(min_value=1, max_value=10_000_000), sr=_rates)
+def test_snap_span_promise(n_raw, sr):
+    """snap_span output always satisfies the canonical integrity promise
+    identically, never exceeds the raw span, and shaves under 1 ms."""
+    n_keep, dur_ms = audio_trim.snap_span(n_raw, sr)
+    assert n_keep == max(1, sr * dur_ms // 1000)
+    assert n_keep <= max(n_raw, 1)
+    assert (n_raw - n_keep) * 1000 < sr + 1000  # < 1 ms + the 1-sample floor
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=signals, sr=_rates)
+def test_trim_bounds_sane(x, sr):
+    """trim_bounds returns either None (all-silent) or a non-empty in-range
+    span that CONTAINS the global peak sample — the loudest frame is by
+    definition never cut."""
+    span = audio_trim.trim_bounds(x, sr)
+    if span is None:
+        # all-silent: true zeros, or denormals whose SQUARE underflows to 0
+        # (frame energy is computed on x**2, so 5e-324 is energy-less)
+        assert x.shape[0] == 0 or float(np.max(np.abs(x))) < 1e-150
+        return
+    s, e = span
+    assert 0 <= s < e <= x.shape[0]
+    assert s <= int(np.argmax(np.abs(x))) < e
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=signals, sr=_rates,
+       factor=st.floats(min_value=0.5, max_value=2.0, width=64))
+def test_speed_perturb_promise(x, sr, factor):
+    """Speed-perturbed output always satisfies the canonical metadata
+    promise for its rewritten duration, at any factor."""
+    y, dur_ms = audio_augment.speed_perturb(x, sr, factor)
+    assert y.shape[0] == max(1, sr * dur_ms // 1000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=signals, snr_db=st.floats(min_value=0.0, max_value=60.0, width=64),
+       seed=st.integers(min_value=0, max_value=2**63 - 1))
+def test_add_noise_bounded_and_deterministic(x, snr_db, seed):
+    """Noise output stays on the pcm rails and is bit-deterministic."""
+    y = audio_augment.add_noise(x, snr_db, seed)
+    assert y.shape == x.shape
+    assert np.all(np.abs(y) <= 1.0)
+    assert np.array_equal(y, audio_augment.add_noise(x, snr_db, seed))
