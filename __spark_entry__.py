@@ -26,6 +26,7 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     ORACLES,
     QUERIES,
     _q46_sql,
+    _q68_sql,
 )
 
 
@@ -51,10 +52,14 @@ def oracle_sql() -> dict[str, str]:
     # q46's oracle is data-dependent (trained k-means centroids embedded as
     # literals), so it is generated at call time from the correctness-run
     # corpus — the same deterministic training the Spark query performs.
+    oracle_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
-        out["q46_ann_ivf_trained"] = _q46_sql(
-            os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        )
+        out["q46_ann_ivf_trained"] = _q46_sql(oracle_dir)
     except (FileNotFoundError, OSError):
         pass  # corpus unavailable: the driver records a rows-only check
+    try:
+        # q68's oracle embeds the same trained-centroid literals (q46 pattern)
+        out["q68_semdedup"] = _q68_sql(oracle_dir)
+    except (FileNotFoundError, OSError):
+        pass
     return out

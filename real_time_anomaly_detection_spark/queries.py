@@ -1956,8 +1956,13 @@ def _ivf_trained_centroids(sf_dir: str, n_cells: int | None = None) -> tuple:
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vid = np.asarray(t.column("vec_id").to_pylist())
-    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    rows = [
+        (v, e)
+        for v, e in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+        if e is not None  # null embeddings train nothing (q68/r5 null convention)
+    ]
+    vid = np.asarray([v for v, _ in rows])
+    x = np.asarray([e for _, e in rows], dtype=np.float64)
     x = x[np.argsort(vid, kind="stable")]
     k = _ivf_cells_for(len(x)) if n_cells is None else n_cells
     stride = max(1, len(x) // _IVF_TRAIN_SAMPLE)
@@ -4955,3 +4960,172 @@ QUERIES["q32_set_except"] = q32_set_except
 QUERIES["q33_rollup"] = q33_rollup
 ORACLES["q32_set_except"] = _Q32_SQL
 ORACLES["q33_rollup"] = _Q33_SQL
+
+
+# --------------------------------------------------------------------------
+# q68: SemDeDup — semantic deduplication partitioned by a trained coarse
+# quantizer (Abbas et al. 2023, arXiv:2303.09540). Complements q42/q49: the
+# LSH path generates candidates by random-hyperplane collision; SemDeDup
+# instead compares pairs ONLY within their k-means cluster and keeps, per
+# duplicate relation, the member with the LOWEST cosine to its cluster
+# centroid (the paper's "keep low-similarity-to-centroid" rule — the
+# cluster outlier is retained, boilerplate near the centroid is cut).
+# 0.45 is this corpus's similarity regime (see q39's docstring: the
+# synthetic embeddings are near-random, max pairwise cosine ~0.51); web
+# deployments run 0.95+ — the knob is exposed.
+_SD_THRESHOLD = 0.45
+# Row-block for the within-cell similarity pass: memory per task is
+# O(_SD_BLOCK x cell_size) instead of O(cell_size^2), so a hot cell
+# degrades to more matmul passes, never an OOM.
+_SD_BLOCK = 2048
+
+
+def q68_semdedup(spark, sf_dir, threshold: float = _SD_THRESHOLD,
+                 n_cells: int | None = None):
+    """SemDeDup: per embedding, (cell, cent_cos, keep) where keep=false iff
+    some OTHER member of the same k-means cell has pairwise cosine >=
+    `threshold` AND a strictly smaller (cent_cos, vec_id) key — i.e. the
+    canonical keeper of a duplicate relation is the member farthest from
+    the centroid (ties by vec_id). The EXISTS form (dropped iff any
+    better-keyed neighbor is a duplicate) is the paper's per-cluster greedy
+    made order-free: it needs no iteration and is expressible as one
+    anti-condition, identical in Spark and the oracle.
+
+    Spark shape for 10^9+ vectors: centroids from the SAME bounded
+    deterministic k-means as q46 (`_ivf_trained_centroids` — metadata-sized
+    sample, bit-stable), shipped to executors as a closure array; cell
+    assignment + centroid cosine is ONE numpy-matmul mapInPandas pass
+    (scan-local, no shuffle); then ONE Exchange keyed by cell and a
+    per-cell applyInPandas that computes the within-cell dominance test
+    BLOCKWISE (_SD_BLOCK rows x cell_size per matmul — the cell's vectors
+    must fit a task, the cell_size^2 similarity matrix never materializes).
+    No pair relation is ever shuffled; the quadratic stays inside the task
+    exactly as the paper computes it per cluster. Cell count follows q46's
+    sqrt-n heuristic; the paper's k ~ n/1000 keeps cells bounded as the
+    corpus grows (document-scale knob, same plan). Cell skew = AQE skew
+    join territory; a degenerate corpus that collapses into one cell is the
+    max_bucket_size/salt regime of q42 and is diagnosed by the cell-size
+    histogram this query's output gives for free (group by cell).
+
+    Recasts the reference's fit-then-apply detector split
+    (anomaly_detector.py:282-340) as train-quantizer-then-dedup. Known
+    SemDeDup recall limit (documented in the paper): duplicates whose
+    members land in DIFFERENT cells are not compared — q42 is the
+    complementary detector for those.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents_arr = np.asarray(_ivf_trained_centroids(sf_dir, n_cells),
+                           dtype=np.float64)
+    thr = float(threshold)
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    par = spark.sparkContext.defaultParallelism * 2
+
+    def assign_batches(batches):
+        for pdf in batches:
+            # null / zero-norm embeddings have no defined cosine: drop them
+            # here (the oracle's WHERE mirrors this) instead of letting
+            # np.stack or the norm division blow up the task (r5 ADVICE
+            # null-semantics convention).
+            pdf = pdf[pdf["emb"].notna()]
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["emb"].to_numpy())
+            nrm = np.sqrt((x * x).sum(axis=1))
+            ok = nrm > 0.0
+            if not ok.all():
+                pdf, x, nrm = pdf[ok], x[ok], nrm[ok]
+                if not len(pdf):
+                    continue
+            dots = x @ cents_arr.T
+            cell = np.argmax(dots, axis=1)  # first max == (dot DESC, cell ASC)
+            cc = np.round(dots[np.arange(len(x)), cell] / nrm, 6)
+            out = pdf[["vec_id", "emb"]].copy()
+            out["cell"] = cell.astype(np.int32)
+            out["cent_cos"] = cc
+            yield out
+
+    assigned = e.repartition(par).mapInPandas(
+        assign_batches,
+        schema="vec_id long, emb array<double>, cell int, cent_cos double",
+    )
+
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by the keeper key: j earlier in this order <=> j dominates i,
+        # so dropped[i] = any duplicate strictly before i. Dominance ignores
+        # whether j itself is dropped (EXISTS semantics — matches the SQL).
+        order = np.lexsort((pdf["vec_id"].to_numpy(), pdf["cent_cos"].to_numpy()))
+        pdf = pdf.iloc[order]
+        x = np.stack(pdf["emb"].to_numpy())
+        nrm = np.sqrt((x * x).sum(axis=1))
+        m = len(pdf)
+        dropped = np.zeros(m, dtype=bool)
+        for s in range(0, m, _SD_BLOCK):
+            t_end = min(s + _SD_BLOCK, m)
+            sims = np.round((x[s:t_end] @ x.T) / np.outer(nrm[s:t_end], nrm), 6)
+            before = np.arange(m)[None, :] < np.arange(s, t_end)[:, None]
+            dropped[s:t_end] = ((sims >= thr) & before).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "cent_cos": pdf["cent_cos"].to_numpy(),
+                "keep": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_dedup, schema="vec_id long, cell int, cent_cos double, keep boolean"
+    )
+
+
+def _q68_sql(sf_dir: str = "/root/testdata/sf0.01",
+             threshold: float = _SD_THRESHOLD,
+             n_cells: int | None = None) -> str:
+    """DuckDB oracle for q68, generated at call time (q46's data-dependent
+    pattern): embeds the SAME trained unit-centroid literals the Spark plan
+    ships, assigns cells by (dot DESC, cell ASC) — the |emb| factor is
+    cell-invariant, exactly as the Spark argmax drops it — and states the
+    keeper rule as the NOT EXISTS the engine's blockwise pass implements.
+    All cross-engine float compares are on 6-dp-rounded cosines (the q42
+    parity convention)."""
+    cents = _ivf_trained_centroids(sf_dir, n_cells)
+    rows = ",\n".join(
+        f"({cell}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[])"
+        for cell, vec in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+cents(cell, c_emb) AS (VALUES {rows}),
+ranked AS (
+  SELECT e.vec_id, e.emb, cents.cell,
+         list_dot_product(e.emb, cents.c_emb) /
+           sqrt(list_dot_product(e.emb, e.emb)) AS cc,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.emb, cents.c_emb) DESC,
+                    cents.cell ASC) AS rk
+  FROM e, cents),
+a AS (SELECT vec_id, emb, cell, round(cc, 6) AS cent_cos FROM ranked WHERE rk = 1)
+SELECT x.vec_id, x.cell, x.cent_cos,
+       NOT EXISTS (
+         SELECT 1 FROM a y
+         WHERE y.cell = x.cell AND y.vec_id <> x.vec_id
+           AND round(list_dot_product(x.emb, y.emb) /
+                     (sqrt(list_dot_product(x.emb, x.emb)) *
+                      sqrt(list_dot_product(y.emb, y.emb))), 6) >= {threshold!r}
+           AND (y.cent_cos < x.cent_cos
+                OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+       ) AS keep
+FROM a x
+"""
+
+
+QUERIES["q68_semdedup"] = q68_semdedup

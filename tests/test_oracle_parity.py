@@ -15,6 +15,7 @@ from real_time_anomaly_detection_spark.queries import (
     QUERIES,
     TABLES,
     _q46_sql,
+    _q68_sql,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
@@ -29,14 +30,16 @@ _LAZY_ORACLES: dict[str, str] = {}
 
 
 def _oracle_for(name: str) -> str:
-    if name == "q46_ann_ivf_trained":
+    lazy = {"q46_ann_ivf_trained": _q46_sql, "q68_semdedup": _q68_sql}
+    if name in lazy:
         if name not in _LAZY_ORACLES:
-            _LAZY_ORACLES[name] = _q46_sql(SF_DIR)
+            _LAZY_ORACLES[name] = lazy[name](SF_DIR)
         return _LAZY_ORACLES[name]
     return ORACLES[name]
 
 
 ORACLES["q46_ann_ivf_trained"] = "<lazy>"  # key presence drives parametrize
+ORACLES["q68_semdedup"] = "<lazy>"  # trained-centroid literals, q46 pattern
 
 
 def _union_find_labels(pairs: pd.DataFrame, a: str, b: str) -> dict[int, int]:
