@@ -67,6 +67,7 @@ from real_time_anomaly_detection_spark.queries import (  # noqa: E402
     q57_leakage_safe_split,
     q60_semantic_decontamination,
     q61_decontamination_report,
+    q68_semdedup,
 )
 
 NEARDUP_BENCH_FNS = {
@@ -110,6 +111,12 @@ NEARDUP_BENCH_FNS = {
     "q60_semantic_decontamination": (
         lambda s, d: q60_semantic_decontamination(s, d, threshold=0.9)
     ),
+    # SemDeDup at the corpus's planted-pair similarity regime (q42's bench
+    # convention). NOTE: q69 must NOT appear here — NEARDUP_QUERIES is
+    # derived from this dict's keys, and q69 routes to the SPANS corpus
+    # (SPANS_QUERIES below): the near-dup corpus's 8-letter-run vocabulary
+    # degenerates its containment join to ~all-pairs (measured 109s vs 17s).
+    "q68_semdedup": (lambda s, d: q68_semdedup(s, d, threshold=0.9)),
     # materialized-input pattern: q51/q60's rows time the two checks,
     # q61's row times the adjudication join
     "q61_decontamination_report": (
@@ -167,6 +174,7 @@ NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
     "q40_simhash_hamming",
     "q43_winnowing_neardup",
 }
+NEARDUP_QUERIES |= {"q68_semdedup"}
 NEARDUP_DOCS = 20_000
 NEARDUP_VECS = 8_000
 
@@ -176,7 +184,14 @@ NEARDUP_VECS = 8_000
 # tokenizer to ~15 distinct letter runs -> 100% window-dup rate, so a
 # bench there times the all-duplicate explosion, not the design; the
 # spans corpus plants a realistic ~1-2% window-dup rate)
-SPANS_QUERIES = {"q64_dup_span_stats", "q65_dup_span_removal"}
+SPANS_QUERIES = {"q64_dup_span_stats", "q65_dup_span_removal",
+                 # q69 tokenizes with [a-z]+ like the span family: the sf
+                 # AND near-dup corpora both fragment to a ~8-15-token
+                 # vocabulary there (avg 3 distinct tokens/doc -> 384M raw
+                 # candidates, measured), which benches the all-overlap
+                 # explosion, not prefix filtering; the spans corpus has a
+                 # realistic vocabulary
+                 "q69_containment_join"}
 SPANS_DOCS = 20_000
 
 

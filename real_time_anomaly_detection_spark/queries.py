@@ -5129,3 +5129,320 @@ FROM a x
 
 
 QUERIES["q68_semdedup"] = q68_semdedup
+
+
+# --------------------------------------------------------------------------
+# q69: asymmetric token-set containment join (excerpt/quote detection) via
+# prefix filtering — All-Pairs / PPJoin family (Bayardo et al., WWW 2007).
+# Near-dup detectors (q34/q42, symmetric Jaccard) structurally miss a small
+# doc embedded in a big one: J(A,B) <= |A|/|B| however complete the
+# containment. C(A,B) = |A∩B|/|A| >= t finds exactly those pairs — the
+# wire-story-inside-aggregator / quoted-reply / boilerplate-wrapper cases a
+# curation pipeline deduplicates asymmetrically. Unlike LSH, prefix
+# filtering is LOSSLESS (candidates provably complete), so the engine must
+# match the all-pairs oracle EXACTLY — the correctness gate audits the
+# filter's completeness theorem, not just the verify stage.
+_CJ_THRESHOLD = 0.9
+
+
+def q69_containment_join(spark, sf_dir, threshold: float = _CJ_THRESHOLD):
+    """Ordered pairs (doc_inner, doc_outer, containment, n_inner) with
+    containment = |distinct_tokens(inner) ∩ distinct_tokens(outer)| /
+    |distinct_tokens(inner)| rounded to 6dp >= `threshold` (q41/q58's
+    lowercase [a-z]+ token convention; 6dp compare is the cross-engine
+    parity convention). Tokens travel as q34's 60-bit md5 longs — both
+    engines hash identically, so even a hash collision is parity-exact —
+    because the verify stage is memory-bandwidth-bound and 8-byte longs
+    beat strings (the _hashed_tokens measurement). Token-free / null-text
+    docs are excluded on both sides in both engines.
+
+    Three LOSSLESS filters (All-Pairs/PPJoin, Bayardo et al. WWW'07 +
+    Xiao et al. WWW'08), with o_min = ceil(t*|A| - 1e-3) — the smallest
+    overlap that can pass the 6dp-rounded threshold (the 1e-3 slack only
+    ever WEAKENS a filter, never loses a pair):
+    - prefix: order every doc's tokens by a GLOBAL (df asc, hash asc)
+      order; if B misses all of A's first p = |A| - o_min + 1 tokens, the
+      overlap is < o_min — so only A's p prefix tokens probe the index.
+    - length: |A∩B| <= |B|, so n_b >= o_min or the pair is impossible.
+    - positional: for the FIRST shared token (global order), at position
+      i in A and j in B, overlap <= 1 + min(n_a-i-1, n_b-j-1); a matched
+      row failing the bound can be dropped because the first-shared-token
+      row always passes for a truly qualifying pair. This is the filter
+      that matters on a UNIFORM vocabulary (measured on the spans bench
+      corpus: rarity ordering alone leaves ~22M raw candidates because
+      every df is ~equal; the positional bound prunes deep-in-B matches
+      independent of df skew).
+
+    Spark shape for 100 TB: per-doc hashed-distinct arrays built
+    SCAN-LOCALLY (text dies at the scan); df is ONE vocabulary-scale hash
+    agg; ONE token-keyed join + ONE doc-keyed re-group of the LINEAR token
+    stream produce the globally-sorted per-doc arrays (persisted — probe,
+    index, and verify all derive from them map-side); the probe side
+    explodes only prefixes, the index side is the linear positional
+    stream; both length and positional bounds apply ON the join row before
+    the distinct, so the pair relation is born small; verify joins the
+    persisted arrays back hint-free (containment-affected docs are
+    unbounded at web dup rates, q48 precedent) and intersects map-side.
+    All-pairs exists ONLY as the oracle; the correctness gate audits the
+    three filters' completeness theorems, not just the verify stage.
+    """
+    thr = float(threshold)
+    d = load(spark, sf_dir, "documents")
+    hs = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    raw = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", hs.alias("hs"))
+        .withColumn("n", F.size("hs"))
+        .filter(F.col("n") > 0)
+    )
+    toks = raw.select("doc_id", "n", F.explode("hs").alias("h"))
+    df_tbl = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sorted_sets = _persist(
+        toks.join(df_tbl, "h")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(df, h))), s -> s.h)")
+            .alias("hs")
+        )
+    )
+    o_min = F.ceil(F.lit(thr) * F.col("n") - 1e-3)
+    p = (F.col("n") - o_min + 1).cast("int")
+    probe = sorted_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.posexplode(F.slice("hs", F.lit(1), p)).alias("i", "h"),
+    )
+    index = sorted_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.posexplode("hs").alias("j", "h"),
+    )
+    o_min_a = F.ceil(F.lit(thr) * F.col("n_a") - 1e-3)
+    cands = (
+        probe.join(index, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("n_b") >= o_min_a)  # length filter
+        .filter(  # positional filter (posexplode is 0-based)
+            1 + F.least(F.col("n_a") - F.col("i") - 1, F.col("n_b") - F.col("j") - 1)
+            >= o_min_a
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sorted_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    b = sorted_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("doc_inner"),
+            F.col("doc_b").alias("doc_outer"),
+            _r6(F.size(F.array_intersect("hs_a", "hs_b")) / F.col("n_a")).alias(
+                "containment"
+            ),
+            F.col("n_a").cast("long").alias("n_inner"),
+        )
+        .filter(F.col("containment") >= thr)
+    )
+
+
+_CJ_HS_SQL = (
+    f"list_distinct(list_transform(regexp_extract_all(lower(text), "
+    f"'{_VOCAB_TOKEN_RE}'), t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))"
+)
+
+_Q69_SQL = f"""
+WITH t2 AS (
+  SELECT doc_id, hs, len(hs) AS n FROM (
+    SELECT doc_id, {_CJ_HS_SQL} AS hs
+    FROM documents WHERE text IS NOT NULL)
+  WHERE len(hs) > 0)
+SELECT doc_inner, doc_outer, containment, n_inner FROM (
+  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+         round(len(list_intersect(a.hs, b.hs)) * 1.0 / a.n, 6) AS containment,
+         CAST(a.n AS BIGINT) AS n_inner
+  FROM t2 a JOIN t2 b ON a.doc_id <> b.doc_id)
+WHERE containment >= {_CJ_THRESHOLD!r}
+"""
+
+QUERIES["q69_containment_join"] = q69_containment_join
+ORACLES["q69_containment_join"] = _Q69_SQL
+
+
+# --------------------------------------------------------------------------
+# q70: source-overlap matrix — per-source MinHash signatures estimating the
+# content Jaccard between every pair of sources (Broder 1997 resemblance
+# sketches, aggregated at source granularity). The curation question this
+# answers — "how much of source B is already in source A?" at the CORPUS
+# level — comes before any doc-level dedup decision (drop a mirror feed
+# wholesale vs pay per-doc dedup), and the sketch is the only shape that
+# answers it at 10^12 docs: a MinHash signature is a min-aggregate, so it
+# is map-side combinable and mergeable across shards/epochs; the shuffle
+# carries n_sources x n_hashes longs (metadata), the corpus-scale token
+# stream never leaves its scan stage, and no doc pair is ever formed.
+_SO_HASHES = 8  # registry/oracle config (the pinned q29 constants);
+#                 production would run 64+ lanes via the same agg —
+#                 stderr ~ sqrt(J(1-J)/k) — with _mh_constants extras
+
+
+def q70_source_overlap(spark, sf_dir, n_hashes: int = _SO_HASHES):
+    """(source_a, source_b, n_matching_lanes, est_jaccard) for every source
+    pair: est_jaccard = fraction of the n_hashes lanes whose per-source
+    minimum agrees — the unbiased MinHash estimate of the Jaccard of the
+    two sources' DISTINCT-token unions (q29's 60-bit md5 token hash and
+    universal-hash family, so estimates are bit-identical cross-engine).
+
+    Plan: ONE explode of per-doc distinct token hashes (scan-local arrays)
+    -> ONE groupBy(source) with n_hashes min-aggregates (map-side partial
+    combine collapses each task to n_sources x n_hashes longs before the
+    Exchange) -> self-join of the metadata-scale signature relation
+    (broadcast nested-loop on source_a < source_b; output is O(S^2) — at
+    web scale S = domains, so a deployment thresholds or top-Ks the output;
+    the signature table itself stays linear in S). Null/token-free docs
+    contribute no tokens on either engine.
+
+    Recasts the reference's peer-baseline comparison (spatial trend
+    verification, anomaly_detector.py:317-373 — "does this series agree
+    with its peers?") at the corpus-composition level."""
+    consts = _mh_constants(n_hashes)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("source", F.explode(_hashed_tokens(F.col("text"))).alias("h"))
+    sig = _persist(
+        toks.groupBy("source").agg(
+            *[
+                F.min(((F.col("h") % _MH_P) * a + b) % _MH_P).alias(f"m{i}")
+                for i, (a, b) in enumerate(consts)
+            ]
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        matches.cast("long").alias("n_matching_lanes"),
+        _r6(matches / F.lit(float(n_hashes))).alias("est_jaccard"),
+    )
+
+
+def _q70_sql(n_hashes: int = _SO_HASHES) -> str:
+    consts = _mh_constants(n_hashes)
+    mins = ",\n         ".join(
+        f"min(((h % {_MH_P}) * {a} + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return f"""
+WITH docs AS (SELECT source, {_HTOKS_SQL} AS htoks
+              FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT source, unnest(htoks) AS h FROM docs),
+sig AS (SELECT source,
+         {mins}
+        FROM tok GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST({match_expr} AS BIGINT) AS n_matching_lanes,
+       round(({match_expr}) / {float(n_hashes)!r}, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
+_Q70_SQL = _q70_sql()
+
+QUERIES["q70_source_overlap"] = q70_source_overlap
+ORACLES["q70_source_overlap"] = _Q70_SQL
+
+
+# --------------------------------------------------------------------------
+# q71: corpus data-card rollup — the per-(lang, source) composition table a
+# dataset release publishes (Datasheets for Datasets, Gebru et al. 2021;
+# Dolma/ROOTS-style corpus reports): volume, token mass, length, split
+# shares (q45's deterministic md5 assignment, so the card states the
+# ACTUAL train/val/test composition any downstream run will see), and
+# PII-bearing-document rates (q56's engine-parity patterns, existence
+# form). ONE map-side expression set + ONE (lang, source) hash agg with
+# map-side partial combine + a broadcast single-row corpus total (q58's
+# anchor pattern): output is strata-scale metadata, the corpus never
+# shuffles, and the agg state is O(strata) — the exact shape that holds at
+# 10^12 docs.
+def q71_corpus_card(spark, sf_dir):
+    """Per (lang, source): n_docs, n_null_text, total_tokens (whitespace —
+    q23's convention; null text contributes 0), mean_chars, n_train/n_val/
+    n_test (q45 buckets), n_pii_docs (any q56 email/IPv4/phone match), and
+    corpus_frac = n_docs / corpus size (6dp)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 100
+    toks = (
+        F.when(F.col("text").isNotNull(), F.size(F.split(F.col("text"), r"\s+")))
+        .otherwise(F.lit(0))
+    )
+    pii = F.col("text").isNotNull() & (
+        F.col("text").rlike(_Q56_EMAIL)
+        | F.col("text").rlike(_Q56_IPV4)
+        | F.col("text").rlike(_Q56_PHONE)
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("text").isNull()).alias("n_null_text"),
+        F.sum(toks).alias("total_tokens"),
+        _r6(F.avg("n_chars")).alias("mean_chars"),
+        F.count_if(h < 80).alias("n_train"),
+        F.count_if((h >= 80) & (h < 90)).alias("n_val"),
+        F.count_if(h >= 90).alias("n_test"),
+        F.count_if(pii).alias("n_pii_docs"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_n"))
+    return g.join(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_null_text",
+        "total_tokens",
+        "mean_chars",
+        "n_train",
+        "n_val",
+        "n_test",
+        "n_pii_docs",
+        _r6(F.col("n_docs") / F.col("_n")).alias("corpus_frac"),
+    )
+
+
+_Q71_SQL = f"""
+WITH base AS (
+  SELECT lang, source, text, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS h,
+         text IS NOT NULL AND (regexp_matches(text, '{_Q56_EMAIL}')
+                               OR regexp_matches(text, '{_Q56_IPV4}')
+                               OR regexp_matches(text, '{_Q56_PHONE}')) AS pii
+  FROM documents)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count_if(text IS NULL) AS BIGINT) AS n_null_text,
+       CAST(sum(CASE WHEN text IS NULL THEN 0
+                ELSE len(regexp_split_to_array(text, '\\s+')) END) AS BIGINT)
+         AS total_tokens,
+       round(avg(n_chars), 6) AS mean_chars,
+       CAST(count_if(h < 80) AS BIGINT) AS n_train,
+       CAST(count_if(h >= 80 AND h < 90) AS BIGINT) AS n_val,
+       CAST(count_if(h >= 90) AS BIGINT) AS n_test,
+       CAST(count_if(pii) AS BIGINT) AS n_pii_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS corpus_frac
+FROM base GROUP BY lang, source
+"""
+
+QUERIES["q71_corpus_card"] = q71_corpus_card
+ORACLES["q71_corpus_card"] = _Q71_SQL

@@ -299,3 +299,40 @@ def test_sequence_packing_one_shard_shuffle_no_text(spark):
     # the Exchange; nothing above the Exchange may reference it
     above_exchange = p.split("Exchange")[0]
     assert "text#" not in above_exchange, above_exchange
+
+
+def test_q69_text_dies_at_the_scan(spark):
+    """q69's corpus contact is the scan-local hashed-token projection; no
+    Exchange may carry `text` (only hashed long arrays / id-metadata rows
+    shuffle). Same walk as the content-dedup payload pin."""
+    from real_time_anomaly_detection_spark.queries import q69_containment_join
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q69_containment_join(spark, SF)
+        node = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def walk(n, out):
+        if "Exchange" in n.nodeName():
+            out.append((n.nodeName(), n.child().output().mkString(",")))
+        for i in range(n.children().size()):
+            walk(n.children().apply(i), out)
+
+    exchanges = []
+    walk(node, exchanges)
+    assert exchanges, "expected shuffles"
+    for name, cols in exchanges:
+        assert "text" not in cols, f"{name} shuffles text: {cols}"
+
+
+def test_q68_exchange_count(spark):
+    """q68 = one round-robin spread into the assignment pass + ONE
+    cell-keyed Exchange for the per-cell dominance test — the pair
+    relation never shuffles (it never exists)."""
+    from real_time_anomaly_detection_spark.queries import q68_semdedup
+
+    df = q68_semdedup(spark, SF)
+    p = plan_str(df)
+    assert p.count("Exchange") == 2, p
