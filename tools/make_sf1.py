@@ -224,3 +224,65 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def make_zipf_documents(out_dir: str, n_docs: int = 20_000,
+                        vocab: int = 200_000, seed: int = 20260818,
+                        excerpt_every: int = 100) -> None:
+    """Documents with a ZIPFIAN vocabulary + planted contained excerpts —
+    the containment-join (q69) corpus. make_span_documents draws token ids
+    UNIFORMLY, which is the worst case for rarity-ordered prefix filtering
+    (every df is ~equal, so the Bayardo ordering prunes nothing and
+    candidate volume is avg-df-bound by construction); real corpora are
+    Zipf-distributed, where a doc's rarest tokens have tiny posting lists
+    and the prefix join is cheap — the behavior the operator is designed
+    around. Planted structure: every `excerpt_every`-th doc is a 20-token
+    contiguous excerpt of its predecessor (containment 1.0 inner->outer up
+    to set semantics), the true-positive class the join must find.
+    Deterministic; writes documents.parquet (doc_id, text, lang, source,
+    n_chars)."""
+    rng = np.random.RandomState(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def words(ids: np.ndarray) -> list[str]:
+        out = []
+        for i in ids:
+            w, i = [], int(i)
+            while True:
+                w.append(letters[i % 26])
+                i //= 26
+                if not i:
+                    break
+            out.append("".join(w))
+        return out
+
+    wordlist = np.asarray(words(np.arange(vocab)), dtype=object)
+    # Zipf(s=1.1) over the vocab via inverse-CDF on precomputed weights
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks ** -1.1)
+    cdf /= cdf[-1]
+    rows_txt: list[str] = []
+    for doc in range(n_docs):
+        if doc % excerpt_every == 1 and doc > 0:
+            prev = rows_txt[doc - 1].split()
+            at = rng.randint(0, max(len(prev) - 20, 1))
+            rows_txt.append(" ".join(prev[at:at + 20]))
+            continue
+        n_tok = 40 + (doc * 13) % 200
+        ids = np.searchsorted(cdf, rng.random_sample(n_tok))
+        rows_txt.append(" ".join(wordlist[ids].tolist()))
+    langs = ["en", "de", "fr", "es"]
+    srcs = ["webcrawl", "books", "forums"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(rows_txt, pa.string()),
+            "lang": pa.array([langs[i % 4] for i in range(n_docs)],
+                             pa.string()),
+            "source": pa.array([srcs[i % 3] for i in range(n_docs)],
+                               pa.string()),
+            "n_chars": pa.array([len(s) for s in rows_txt], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet",
+                   row_group_size=ROW_GROUP)
