@@ -601,6 +601,9 @@ QS = {
     "q68": (lambda s: q68_semdedup(s, emb_dir, threshold=0.9)),
     "q70": (lambda s: q70_source_overlap(s, zipf_dir)),
 }
+sel = os.environ.get("RTAD_CT_QUERIES")
+if sel:
+    QS = {k: v for k, v in QS.items() if k in sel.split(",")}
 n_docs = spark.read.parquet(os.path.join(zipf_dir, "documents.parquet")).count()
 
 def run_once():

@@ -5078,7 +5078,14 @@ def q68_semdedup(spark, sf_dir, threshold: float = _SD_THRESHOLD,
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    # pre-partition the dedup stage by cell at a finer grain than the
+    # session's shuffle_partitions: groupBy alone lands on max(cores, 8)
+    # partitions, i.e. ONE task per core at local[8] — no work stealing, so
+    # partition imbalance bounds the stage (measured: 2->8 scaling 0.507 at
+    # 800k vectors; the hash(cell, 4x) layout restores bin-packing).
+    # Catalyst sees hash(cell, N) already satisfies the groupBy's required
+    # distribution and adds no second Exchange (plan-pinned).
+    return assigned.repartition(par * 2, "cell").groupBy("cell").applyInPandas(
         cell_dedup, schema="vec_id long, cell int, cent_cos double, keep boolean"
     )
 
