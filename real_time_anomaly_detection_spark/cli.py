@@ -254,6 +254,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="drop (band,value) frame buckets larger than this; "
                         "<=0 disables the cap")
 
+    p = sub.add_parser("partition-overlap")
+    _add_common(p)
+    p.add_argument("--input", required=True, help="clips parquet dir")
+    p.add_argument("--out", required=True,
+                   help="output root: signatures/ and overlap/")
+    p.add_argument("--n-hashes", type=int, default=16,
+                   help="MinHash lanes per partition signature")
+    p.add_argument("--min-est", type=float, default=0.0,
+                   help="emit only pairs with est_jaccard >= this floor "
+                        "(keeps the O(P^2) table triage-sized)")
+
     p = sub.add_parser("stream-dedup")
     _add_common(p)
     p.add_argument("--input", required=True,
@@ -622,6 +633,21 @@ def main(argv: list[str] | None = None) -> None:
         from .streaming.dedup_stream import compact_store
 
         print(json.dumps(compact_store(spark, args.out, args.checkpoint)))
+        return
+
+    if args.cmd == "partition-overlap":
+        from .operators import partition_overlap as PO
+
+        clips = spark.read.parquet(args.input)
+        PO.partition_signatures(clips, n_hashes=args.n_hashes).write.mode(
+            "overwrite").parquet(os.path.join(args.out, "signatures"))
+        ov = PO.partition_overlap(
+            clips, n_hashes=args.n_hashes, min_est=args.min_est
+        )
+        ov.write.mode("overwrite").parquet(os.path.join(args.out, "overlap"))
+        n = spark.read.parquet(os.path.join(args.out, "overlap")).count()
+        print(json.dumps({"pairs": n, "n_hashes": args.n_hashes,
+                          "min_est": args.min_est}))
         return
 
     if args.cmd == "audio-neardup":

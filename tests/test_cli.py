@@ -231,3 +231,20 @@ def test_audio_neardup_cli(spark, tmp_path):
         .count()
     )
     assert bad_keeper == 0
+
+
+def test_partition_overlap_cli(spark, tmp_path):
+    data = str(tmp_path / "po_clips")
+    cli.main(["synth", "--n-clips", "120", "--clips-per-partition", "40",
+              "--out", data])
+    out = str(tmp_path / "po_out")
+    cli.main(["partition-overlap", "--input", data, "--out", out,
+              "--n-hashes", "16"])
+    sig = spark.read.parquet(os.path.join(out, "signatures"))
+    ov = spark.read.parquet(os.path.join(out, "overlap"))
+    assert sig.count() == 3                      # one signature per partition
+    assert ov.count() == 3                       # 3 choose 2 pairs
+    assert {c for c in ov.columns} == {
+        "part_a", "part_b", "n_matching_lanes", "est_jaccard"}
+    # distinct synth payloads: no partition pair should look identical
+    assert ov.filter(ov.est_jaccard >= 1.0).count() == 0
