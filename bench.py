@@ -196,7 +196,7 @@ SPANS_DOCS = 20_000
 # Zipf-distributed — prefix tokens are genuinely rare — which is the regime
 # the operator is designed for (measured here: 19s uniform vs 10s zipf at
 # the same 20k docs, and the gap grows with corpus size).
-CONTAINMENT_QUERIES = {"q69_containment_join"}
+CONTAINMENT_QUERIES = {"q69_containment_join", "q72_containment_canonical"}
 ZIPF_DOCS = 20_000
 
 

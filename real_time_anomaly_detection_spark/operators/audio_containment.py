@@ -356,6 +356,8 @@ def containment_canonical(pairs: DataFrame, max_iters: int = 16) -> DataFrame:
     iterative self-join would otherwise nest the logical plan per round
     (the components.py lesson).
     """
+    from .components import collapse_parent_forest
+
     w = Window.partitionBy("inner").orderBy(
         F.col("coverage").desc(), F.col("matched_frames").desc(),
         F.col("outer").asc(),
@@ -364,31 +366,7 @@ def containment_canonical(pairs: DataFrame, max_iters: int = 16) -> DataFrame:
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(F.col("inner").alias("node"), F.col("outer").alias("parent"))
-        .localCheckpoint(eager=True)
     )
-    cur = parent
-    for _ in range(max_iters):
-        hop = cur.alias("a").join(
-            cur.select(
-                F.col("node").alias("p_node"), F.col("parent").alias("p_parent")
-            ),
-            F.col("a.parent") == F.col("p_node"),
-            "left",
-        )
-        nxt = hop.select(
-            F.col("a.node").alias("node"),
-            F.coalesce("p_parent", F.col("a.parent")).alias("parent"),
-            F.col("p_node").isNotNull().alias("_hopped"),
-        ).localCheckpoint(eager=True)
-        n_hopped = nxt.filter("_hopped").count()
-        cur = nxt.select("node", "parent")
-        if n_hopped == 0:
-            return cur.select(
-                F.col("node").alias("clip_id"),
-                F.col("parent").alias("canonical"),
-            )
-    raise RuntimeError(
-        f"containment chains did not collapse in {max_iters} pointer-jump "
-        "rounds — a cycle in the pair relation (corrupt input?) or a chain "
-        f"deeper than 2^{max_iters}"
+    return collapse_parent_forest(parent, max_iters=max_iters).select(
+        F.col("node").alias("clip_id"), F.col("root").alias("canonical")
     )

@@ -278,3 +278,40 @@ def incremental_components(
         )
         edges = edges.unionByName(forest)
     return connected_components(edges, max_iters=max_iters)
+
+
+def collapse_parent_forest(parent: DataFrame, max_iters: int = 16) -> DataFrame:
+    """(node, root) for every node of an ACYCLIC parent forest — the top of
+    each node's parent chain. Shared terminal machinery for the containment
+    paths (audio `containment_canonical`, text q72): callers build the
+    best-parent relation (one deterministic parent per node, acyclic BY
+    CONSTRUCTION — the caller's parent order must be a strict partial
+    order), this collapses chains by pointer jumping (parent <- parent's
+    parent), so rounds are O(log depth), not O(depth). Each round is
+    localCheckpoint-ed (the iterative self-join would otherwise nest the
+    logical plan per round). Exceeding ``max_iters`` (2^16-deep chains)
+    raises rather than returning a half-collapsed mapping — a cycle in the
+    input reaches this, never silent wrong output."""
+    cur = parent.select("node", "parent").localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        hop = cur.alias("a").join(
+            cur.select(
+                F.col("node").alias("p_node"), F.col("parent").alias("p_parent")
+            ),
+            F.col("a.parent") == F.col("p_node"),
+            "left",
+        )
+        nxt = hop.select(
+            F.col("a.node").alias("node"),
+            F.coalesce("p_parent", F.col("a.parent")).alias("parent"),
+            F.col("p_node").isNotNull().alias("_hopped"),
+        ).localCheckpoint(eager=True)
+        n_hopped = nxt.filter("_hopped").count()
+        cur = nxt.select("node", "parent")
+        if n_hopped == 0:
+            return cur.select("node", F.col("parent").alias("root"))
+    raise RuntimeError(
+        f"parent chains did not collapse in {max_iters} pointer-jump "
+        "rounds — a cycle in the parent relation (caller's order is not a "
+        f"strict partial order?) or a chain deeper than 2^{max_iters}"
+    )

@@ -5152,6 +5152,25 @@ QUERIES["q68_semdedup"] = q68_semdedup
 _CJ_THRESHOLD = 0.9
 
 
+def _cj_doc_sets(d):
+    """(doc_id, hs, n): each doc's DISTINCT [a-z]+ tokens as 60-bit md5
+    longs (the q34 portable-hash form), built scan-locally; null-text and
+    token-free docs excluded. Shared by q69 (containment join) and q72
+    (containment canonical)."""
+    hs = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", hs.alias("hs"))
+        .withColumn("n", F.size("hs"))
+        .filter(F.col("n") > 0)
+    )
+
+
 def q69_containment_join(spark, sf_dir, threshold: float = _CJ_THRESHOLD):
     """Ordered pairs (doc_inner, doc_outer, containment, n_inner) with
     containment = |distinct_tokens(inner) ∩ distinct_tokens(outer)| /
@@ -5194,19 +5213,7 @@ def q69_containment_join(spark, sf_dir, threshold: float = _CJ_THRESHOLD):
     three filters' completeness theorems, not just the verify stage.
     """
     thr = float(threshold)
-    d = load(spark, sf_dir, "documents")
-    hs = F.array_distinct(
-        F.transform(
-            F.regexp_extract_all(F.lower("text"), F.lit(_VOCAB_TOKEN_RE), 0),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-        )
-    )
-    raw = (
-        d.filter(F.col("text").isNotNull())
-        .select("doc_id", hs.alias("hs"))
-        .withColumn("n", F.size("hs"))
-        .filter(F.col("n") > 0)
-    )
+    raw = _cj_doc_sets(load(spark, sf_dir, "documents"))
     toks = raw.select("doc_id", "n", F.explode("hs").alias("h"))
     df_tbl = toks.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sorted_sets = _persist(
@@ -5453,3 +5460,85 @@ FROM base GROUP BY lang, source
 
 QUERIES["q71_corpus_card"] = q71_corpus_card
 ORACLES["q71_corpus_card"] = _Q71_SQL
+
+
+# --------------------------------------------------------------------------
+# q72: containment canonical — the terminal op of the text containment path
+# (q69 : q72 :: audio containment_pairs : containment_canonical). Excerpt
+# chains nest in real corpora (a pull-quote of an article that is itself a
+# syndicated excerpt of a wire story); a dedup sink must keep the TOP of
+# each chain, not the middleman. Also the op that makes q69's symmetric
+# 1.0/1.0 pairs (identical token sets) actionable: the keeper is the
+# smaller doc_id, the twin maps to it.
+def q72_containment_canonical(spark, sf_dir, threshold: float = _CJ_THRESHOLD):
+    """(doc_id, canonical) for every doc contained (>= threshold) in some
+    other doc: the top of its containment chain. Parent arcs are made
+    ACYCLIC by construction — the parent must be STRICTLY greater in the
+    (n, -doc_id) order (bigger token set, or equal set and smaller id), so
+    the mutual pairs q69 legitimately emits for identical docs collapse to
+    one direction; best parent per inner = (containment desc, n_outer desc,
+    doc_outer asc), fully deterministic. Chains collapse by pointer jumping
+    (operators/components.py:collapse_parent_forest — O(log depth) rounds,
+    localCheckpoint per round, raises on non-convergence). Spark shape:
+    q69's candidate machinery produces the pair relation (containment-
+    scale); the arc filter and window run on pairs, never the corpus; the
+    sizes join is one map-side projection of the documents scan."""
+    pairs = q69_containment_join(spark, sf_dir, threshold)
+    sizes = _cj_doc_sets(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("doc_outer"), F.col("n").alias("n_outer")
+    )
+    arcs = pairs.join(sizes, "doc_outer").filter(
+        (F.col("n_outer") > F.col("n_inner"))
+        | (
+            (F.col("n_outer") == F.col("n_inner"))
+            & (F.col("doc_outer") < F.col("doc_inner"))
+        )
+    )
+    w = W.partitionBy("doc_inner").orderBy(
+        F.col("containment").desc(), F.col("n_outer").desc(),
+        F.col("doc_outer").asc(),
+    )
+    parent = (
+        arcs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc_inner").alias("node"), F.col("doc_outer").alias("parent")
+        )
+    )
+    from .operators.components import collapse_parent_forest
+
+    return collapse_parent_forest(parent).select(
+        F.col("node").alias("doc_id"), F.col("root").alias("canonical")
+    )
+
+
+_Q72_SQL = f"""
+WITH RECURSIVE t2 AS (
+  SELECT doc_id, hs, len(hs) AS n FROM (
+    SELECT doc_id, {_CJ_HS_SQL} AS hs
+    FROM documents WHERE text IS NOT NULL)
+  WHERE len(hs) > 0),
+pr AS (
+  SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+         round(len(list_intersect(a.hs, b.hs)) * 1.0 / a.n, 6) AS containment,
+         a.n AS n_inner, b.n AS n_outer
+  FROM t2 a JOIN t2 b ON a.doc_id <> b.doc_id),
+arcs AS (
+  SELECT * FROM pr
+  WHERE containment >= {_CJ_THRESHOLD!r}
+    AND (n_outer > n_inner OR (n_outer = n_inner AND doc_outer < doc_inner))),
+parent AS (
+  SELECT doc_inner AS node, doc_outer AS parent FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_inner
+        ORDER BY containment DESC, n_outer DESC, doc_outer ASC) AS rn
+    FROM arcs) WHERE rn = 1),
+r AS (
+  SELECT node, parent AS cur FROM parent
+  UNION ALL
+  SELECT r.node, p.parent FROM r JOIN parent p ON r.cur = p.node)
+SELECT node AS doc_id, cur AS canonical FROM r
+WHERE cur NOT IN (SELECT node FROM parent)
+"""
+
+QUERIES["q72_containment_canonical"] = q72_containment_canonical
+ORACLES["q72_containment_canonical"] = _Q72_SQL

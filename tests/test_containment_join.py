@@ -86,3 +86,63 @@ def test_dual_engine_on_planted_corpus(spark, corpus):
         .reset_index(drop=True)
     )
     assert sp.equals(oc.astype(sp.dtypes.to_dict()))
+
+
+@pytest.fixture(scope="module")
+def chain_corpus(tmp_path_factory, spark):
+    """Nested excerpts: C (8 tokens) ⊂ B (20) ⊂ A (40); D = exact token-set
+    twin of C; E disjoint."""
+    path = str(tmp_path_factory.mktemp("chain"))
+    a = " ".join(_w(i) for i in range(40))
+    b = " ".join(_w(i) for i in range(20))
+    c = " ".join(_w(i) for i in range(8))
+    d = " ".join(reversed(c.split()))  # same set, different order
+    rows = [(1, a), (2, b), (3, c), (4, d),
+            (5, " ".join(_w(500 + i) for i in range(10)))]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    return path
+
+
+def test_canonical_collapses_chains(spark, chain_corpus):
+    from real_time_anomaly_detection_spark.queries import (
+        q72_containment_canonical,
+    )
+
+    got = {
+        int(r.doc_id): int(r.canonical)
+        for r in q72_containment_canonical(spark, chain_corpus).collect()
+    }
+    # the chain collapses to the TOP, not the middleman
+    assert got[3] == 1 and got[2] == 1
+    # the identical twin maps to the smaller id's chain top
+    assert got[4] == 1
+    # the top itself and the disjoint doc are contained in nothing
+    assert 1 not in got and 5 not in got
+
+
+def test_canonical_dual_engine(spark, chain_corpus):
+    from real_time_anomaly_detection_spark.queries import (
+        _Q72_SQL,
+        q72_containment_canonical,
+    )
+
+    sp = (
+        q72_containment_canonical(spark, chain_corpus)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{chain_corpus}/documents.parquet/*.parquet'"
+    )
+    oc = (
+        con.execute(_Q72_SQL)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sp.equals(oc.astype(sp.dtypes.to_dict()))
