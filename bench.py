@@ -196,7 +196,54 @@ SPANS_DOCS = 20_000
 # Zipf-distributed — prefix tokens are genuinely rare — which is the regime
 # the operator is designed for (measured here: 19s uniform vs 10s zipf at
 # the same 20k docs, and the gap grows with corpus size).
-CONTAINMENT_QUERIES = {"q69_containment_join", "q72_containment_canonical"}
+CONTAINMENT_QUERIES = {"q69_containment_join", "q72_containment_canonical",
+                       "q73_dedup_disposition"}
+
+# Bench-fn overrides that do NOT imply corpus routing (NEARDUP_BENCH_FNS
+# keys drive NEARDUP_QUERIES — the r6 q69 misroute; overrides for queries
+# routed elsewhere go here). q73's row times the disposition SPINE over
+# materialized q47/q72 relations (q48/q50/q61 pattern: the component costs
+# have their own rows).
+from real_time_anomaly_detection_spark.queries import (  # noqa: E402
+    q73_dedup_disposition as _q73_raw,
+)
+
+BENCH_FN_OVERRIDES = {
+    "q73_dedup_disposition": (
+        lambda s, d: _q73_raw(
+            s, d,
+            clusters=s.read.parquet(_q73_input_paths(s, d)[0]),
+            canon=s.read.parquet(_q73_input_paths(s, d)[1]),
+        )
+    ),
+}
+
+_Q73_INPUT_PATHS: dict[str, tuple[str, str]] = {}
+
+
+def _q73_input_paths(spark, corpus_dir: str) -> tuple[str, str]:
+    """Materialize q73's cluster + canonical inputs once per corpus,
+    untimed (q47 in derived banding at its default threshold; q72 at its
+    default 0.9); returns (clusters_path, canon_path)."""
+    if corpus_dir not in _Q73_INPUT_PATHS:
+        import hashlib
+
+        from real_time_anomaly_detection_spark.queries import (
+            q47_neardup_clusters,
+            q72_containment_canonical,
+        )
+
+        key = hashlib.sha256(corpus_dir.encode()).hexdigest()[:12]
+        cp = os.path.join(CACHE_DIR, f"q73_clusters_{key}")
+        kp = os.path.join(CACHE_DIR, f"q73_canon_{key}")
+        q47_neardup_clusters(spark, corpus_dir).write.mode(
+            "overwrite").parquet(cp)
+        q72_containment_canonical(spark, corpus_dir).write.mode(
+            "overwrite").parquet(kp)
+        release_cached()
+        spark.catalog.clearCache()
+        _Q73_INPUT_PATHS[corpus_dir] = (cp, kp)
+    return _Q73_INPUT_PATHS[corpus_dir]
 ZIPF_DOCS = 20_000
 
 
@@ -275,7 +322,8 @@ def bench_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         src = (nd_dir if name in NEARDUP_QUERIES
                else sp_dir if name in SPANS_QUERIES
                else zf_dir if name in CONTAINMENT_QUERIES else sf_dir)
-        fn = NEARDUP_BENCH_FNS.get(name, QUERIES[name])
+        fn = (BENCH_FN_OVERRIDES.get(name)
+              or NEARDUP_BENCH_FNS.get(name, QUERIES[name]))
         t0 = time.perf_counter()
         _force(fn(spark, src))
         out[name] = round(time.perf_counter() - t0, 3)
@@ -483,7 +531,8 @@ def main() -> None:
                else spans_corpus_dir() if name in SPANS_QUERIES
                else zipf_corpus_dir() if name in CONTAINMENT_QUERIES
                else sf_dir)
-        fn = NEARDUP_BENCH_FNS.get(name, QUERIES[name])
+        fn = (BENCH_FN_OVERRIDES.get(name)
+              or NEARDUP_BENCH_FNS.get(name, QUERIES[name]))
         for _ in range(n_runs - 1):
             spark.catalog.clearCache()
             spark._jvm.System.gc()

@@ -5542,3 +5542,119 @@ WHERE cur NOT IN (SELECT node FROM parent)
 
 QUERIES["q72_containment_canonical"] = q72_containment_canonical
 ORACLES["q72_containment_canonical"] = _Q72_SQL
+
+
+# --------------------------------------------------------------------------
+# q73: dedup DISPOSITION — the per-document terminal decision table the
+# text-dedup stack writes: every doc's verdict across the three
+# complementary detectors (exact normalized-hash groups = q25's convention;
+# near-dup clusters + canonical keeper = q47; containment chains = q72),
+# the final keep/drop bit, and a priority-ordered reason. Pairs/clusters
+# alone are not actionable corpus-wide — this is the relation a curation
+# sink actually filters the corpus by (and the audit a human reads when a
+# doc is missing from the training set).
+def q73_dedup_disposition(spark, sf_dir, n_bands: int | None = None,
+                          rows_per_band: int | None = None,
+                          near_threshold: float = 0.5,
+                          containment_threshold: float = _CJ_THRESHOLD,
+                          clusters=None, canon=None):
+    """Per doc: (doc_id, exact_dup, exact_keeper, near_cluster, near_keeper,
+    contained_in, status, keep). keep = not a non-keeper exact copy AND not
+    a non-keeper near-dup AND not contained in anything; status = the first
+    failing check in (exact_dup > near_dup > contained) priority, else
+    'keep' (so keep == (status = 'keep')). Null-text docs hash to one exact
+    group (q25's GROUP BY semantics) — all-empty content is mutually
+    duplicate.
+
+    Spark shape: exact flags are TWO window functions over ONE hash-keyed
+    Exchange of (doc_id, 32B hash) — metadata-width, never the text; the
+    cluster and canonical relations are dedup-scale and join the spine
+    hint-free (30-80% dup rates at web scale, q48 precedent). ``clusters``
+    / ``canon``: optional MATERIALIZED q47 / q72 relations — a pipeline
+    joins its checkpointed label tables instead of recomputing the stacks
+    (the q50/q61 pattern)."""
+    d = load(spark, sf_dir, "documents")
+    if clusters is None:
+        clusters = q47_neardup_clusters(
+            spark, sf_dir, n_bands=n_bands, rows_per_band=rows_per_band,
+            threshold=near_threshold,
+        )
+    if canon is None:
+        canon = q72_containment_canonical(
+            spark, sf_dir, threshold=containment_threshold
+        )
+    wh = W.partitionBy("_h")
+    spine = (
+        d.select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("_h"))
+        .withColumn("_n", F.count(F.lit(1)).over(wh))
+        .withColumn("_mn", F.min("doc_id").over(wh))
+    )
+    out = (
+        spine.join(
+            clusters.select(
+                "doc_id",
+                F.col("cluster_id").alias("_nc"),
+                F.col("is_keeper").alias("_nk"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            canon.select("doc_id", F.col("canonical").alias("_ci")),
+            "doc_id",
+            "left",
+        )
+    )
+    exact_dup = F.col("_n") > 1
+    exact_keeper = exact_dup & (F.col("doc_id") == F.col("_mn"))
+    near_cluster = F.coalesce(F.col("_nc"), F.lit(-1).cast("long"))
+    near_keeper = F.coalesce(F.col("_nk"), F.lit(False))
+    contained_in = F.coalesce(F.col("_ci"), F.lit(-1).cast("long"))
+    status = (
+        F.when(exact_dup & ~exact_keeper, F.lit("exact_dup"))
+        .when((near_cluster != -1) & ~near_keeper, F.lit("near_dup"))
+        .when(contained_in != -1, F.lit("contained"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        "doc_id",
+        exact_dup.alias("exact_dup"),
+        exact_keeper.alias("exact_keeper"),
+        near_cluster.alias("near_cluster"),
+        near_keeper.alias("near_keeper"),
+        contained_in.alias("contained_in"),
+        status.alias("status"),
+        (status == "keep").alias("keep"),
+    )
+
+
+_Q73_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n,
+         min(doc_id) OVER (PARTITION BY sha256(lower(trim(text)))) AS mn
+  FROM documents),
+t AS ({_Q47_SQL}),
+c AS ({_Q72_SQL})
+SELECT ex.doc_id,
+       ex.n > 1 AS exact_dup,
+       ex.n > 1 AND ex.doc_id = ex.mn AS exact_keeper,
+       COALESCE(t.cluster_id, -1) AS near_cluster,
+       COALESCE(t.is_keeper, FALSE) AS near_keeper,
+       COALESCE(c.canonical, -1) AS contained_in,
+       CASE WHEN ex.n > 1 AND ex.doc_id <> ex.mn THEN 'exact_dup'
+            WHEN t.doc_id IS NOT NULL AND NOT t.is_keeper THEN 'near_dup'
+            WHEN c.doc_id IS NOT NULL THEN 'contained'
+            ELSE 'keep' END AS status,
+       (NOT (ex.n > 1 AND ex.doc_id <> ex.mn))
+         AND (t.doc_id IS NULL OR t.is_keeper)
+         AND c.doc_id IS NULL AS keep
+FROM ex
+LEFT JOIN t ON ex.doc_id = t.doc_id
+LEFT JOIN c ON ex.doc_id = c.doc_id
+"""
+
+QUERIES["q73_dedup_disposition"] = _pin_kwargs(
+    q73_dedup_disposition, n_bands=_MH_BANDS, rows_per_band=2
+)
+ORACLES["q73_dedup_disposition"] = _Q73_SQL
