@@ -5001,11 +5001,19 @@ def q68_semdedup(spark, sf_dir, threshold: float = _SD_THRESHOLD,
     must fit a task, the cell_size^2 similarity matrix never materializes).
     No pair relation is ever shuffled; the quadratic stays inside the task
     exactly as the paper computes it per cluster. Cell count follows q46's
-    sqrt-n heuristic; the paper's k ~ n/1000 keeps cells bounded as the
-    corpus grows (document-scale knob, same plan). Cell skew = AQE skew
-    join territory; a degenerate corpus that collapses into one cell is the
-    max_bucket_size/salt regime of q42 and is diagnosed by the cell-size
-    histogram this query's output gives for free (group by cell).
+    sqrt-n heuristic, CLAMPED at 256 (the shared trained-centroid
+    machinery's literal-table bound) — at 800k vectors that is ~3.1k-vector
+    cells and the in-cell quadratic dominates; past ~10^6 rows pass
+    n_cells ~ n/1000 explicitly (the paper's k; the closure array carries
+    thousands of centroids fine, the clamp is q44/q46's Catalyst-literal
+    inheritance, not a limit of this plan). The dedup stage pre-partitions
+    hash(cell, 4 x cores) — groupBy alone lands on max(cores, 8)
+    partitions, one task per core, and partition imbalance then bounds the
+    stage (measured: 2->8 scaling 0.507 -> 0.886 at 800k vectors,
+    BENCH/BASELINE.md). Cell skew beyond that is diagnosed by the
+    cell-size histogram this query's output gives for free (group by
+    cell); a corpus collapsing into ONE cell is the max_bucket_size/salt
+    regime of q42.
 
     Recasts the reference's fit-then-apply detector split
     (anomaly_detector.py:282-340) as train-quantizer-then-dedup. Known
