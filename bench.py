@@ -174,7 +174,6 @@ NEARDUP_QUERIES = set(NEARDUP_BENCH_FNS) | {
     "q40_simhash_hamming",
     "q43_winnowing_neardup",
 }
-NEARDUP_QUERIES |= {"q68_semdedup"}
 NEARDUP_DOCS = 20_000
 NEARDUP_VECS = 8_000
 

@@ -5093,6 +5093,8 @@ def q68_semdedup(spark, sf_dir, threshold: float = _SD_THRESHOLD,
     # 800k vectors; the hash(cell, 4x) layout restores bin-packing).
     # Catalyst sees hash(cell, N) already satisfies the groupBy's required
     # distribution and adds no second Exchange (plan-pinned).
+    # par is already 2 x defaultParallelism, so par * 2 = the 4 x cores the
+    # measurement used (hash(cell, 32) at local[8], plan-checked).
     return assigned.repartition(par * 2, "cell").groupBy("cell").applyInPandas(
         cell_dedup, schema="vec_id long, cell int, cent_cos double, keep boolean"
     )
