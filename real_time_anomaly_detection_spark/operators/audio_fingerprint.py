@@ -253,14 +253,16 @@ def neardup_pairs(
         )
     else:
         probe = x
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("a.bands"),
-            F.col("b.bands"),
-            lambda p, q: F.bit_count(p.bitwiseXOR(q)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # r7: static 8-term sum instead of the zip_with/aggregate HOF — higher-
+    # order functions are interpreted per element (no whole-stage codegen),
+    # and this expression runs once per JOIN CANDIDATE row, the hottest
+    # point of the operator (guide §4.1: built-ins first). Same arithmetic:
+    # sum over the 8 chunks of popcount(xor).
+    ham = sum(
+        F.bit_count(
+            F.col("a.bands").getItem(i).bitwiseXOR(F.col("b.bands").getItem(i))
+        ).cast("long")
+        for i in range(_AF_CHUNKS)
     )
     return (
         x.alias("a")

@@ -276,12 +276,18 @@ def test_stratified_sample_is_one_scan_one_agg(spark):
 
 def test_repetition_signals_shuffle_free(spark):
     """q53's signals depend only on each doc's own tokens, so the whole
-    computation is one scan-local Arrow pass: no Exchange, no Join — the
-    naive explode+groupBy(doc, gram) would shuffle the full token stream."""
+    computation is one scan-local Arrow pass: no KEYED Exchange, no Join —
+    the naive explode+groupBy(doc, gram) would shuffle the full token
+    stream. r7: `_spread` may round-robin the few-row-group local scan so
+    the Arrow pass sees >= cores tasks (a no-op at scale, where the scan's
+    own splits drive parallelism); the pin therefore forbids
+    hash-partitioned Exchanges specifically — the shape that WOULD mean a
+    corpus-scale token shuffle — rather than any Exchange."""
     from real_time_anomaly_detection_spark.queries import QUERIES
 
     p = plan_str(QUERIES["q53_repetition_signals"](spark, SF))
-    assert "Exchange" not in p, f"q53 must be shuffle-free:\n{p}"
+    assert "hashpartitioning" not in p, f"q53 must not key-shuffle:\n{p}"
+    assert "rangepartitioning" not in p, p
     assert "Join" not in p, p
 
 
