@@ -140,8 +140,86 @@ def probe_q69_stages() -> None:
     print(f"  q69 end-to-end: {time.perf_counter() - t0:.3f}s")
 
 
+def probe_validate_families() -> None:
+    """Per-family wall time of engine.validate on the bench clips table:
+    run validate with ONE family enabled at a time (plus the always-shared
+    meta persist), then the full default config."""
+    import bench
+    from real_time_anomaly_detection_spark import engine, synth
+    from real_time_anomaly_detection_spark.operators import drift
+
+    spark = _spark()
+    n_clips = int(os.environ.get("BENCH_CLIPS", "100000"))
+    cfg, clips, refs = bench.clips_table(spark, n_clips)
+    clean = synth.scaled(synth.clean_config(), n_clips=4000,
+                         clips_per_partition=1000)
+    baseline = drift.make_baseline(synth.clips_df(spark, clean),
+                                   ("dur_ms", "sr_hz"))
+    full = engine.ValidationConfig()
+    fams = list(full.checks)
+    print("families:", fams)
+
+    def run(checks):
+        c = engine.ValidationConfig(checks=tuple(checks))
+        verdicts, violations = engine.validate(
+            spark, clips, refs=refs, baseline_rows=baseline,
+            ref_pcm_fn=lambda cid: synth.reference_pcm(cfg, cid), cfg=c,
+        )
+        _force(verdicts)
+        _force(violations)
+
+    run(["column_stats"])  # warm-up (workers, codegen)
+    spark.catalog.clearCache()
+    for fam in fams:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        run([fam])
+        print(f"  {fam:25s} {time.perf_counter() - t0:7.3f}s", flush=True)
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    t0 = time.perf_counter()
+    run(fams)
+    print(f"  {'ALL':25s} {time.perf_counter() - t0:7.3f}s", flush=True)
+
+
+def probe_audio_neardup_stages() -> None:
+    """fingerprints scan vs banded pair join, separately."""
+    import bench
+    from real_time_anomaly_detection_spark.operators import (
+        audio_fingerprint as AFP,
+    )
+
+    spark = _spark()
+    n_clips = int(os.environ.get("BENCH_CLIPS", "100000"))
+    _, clips, _ = bench.clips_table(spark, n_clips)
+    _force(clips.limit(2000))  # warm workers
+    t0 = time.perf_counter()
+    fps = AFP.fingerprints(clips)
+    _force(fps)
+    print(f"  fingerprints scan  {time.perf_counter() - t0:7.3f}s", flush=True)
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    AFP.fingerprints(clips).write.mode("overwrite").parquet(tmp + "/fps")
+    stored = spark.read.parquet(tmp + "/fps")
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    n = AFP.neardup_pairs(stored).count()
+    print(f"  pair join (stored fps) {time.perf_counter() - t0:7.3f}s n={n}",
+          flush=True)
+    release_cached()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    n = AFP.neardup_pairs(AFP.fingerprints(clips)).count()
+    print(f"  end-to-end         {time.perf_counter() - t0:7.3f}s n={n}",
+          flush=True)
+
+
 PROBES = {
     "q69_stages": probe_q69_stages,
+    "validate_families": probe_validate_families,
+    "audio_neardup_stages": probe_audio_neardup_stages,
 }
 
 

@@ -641,8 +641,11 @@ def main(argv: list[str] | None = None) -> None:
         clips = spark.read.parquet(args.input)
         PO.partition_signatures(clips, n_hashes=args.n_hashes).write.mode(
             "overwrite").parquet(os.path.join(args.out, "signatures"))
+        # derive the overlap matrix from the relation just written — the
+        # payload column is scanned exactly once (r6 ADVICE #4)
         ov = PO.partition_overlap(
-            clips, n_hashes=args.n_hashes, min_est=args.min_est
+            clips, n_hashes=args.n_hashes, min_est=args.min_est,
+            sig=spark.read.parquet(os.path.join(args.out, "signatures")),
         )
         ov.write.mode("overwrite").parquet(os.path.join(args.out, "overlap"))
         n = spark.read.parquet(os.path.join(args.out, "overlap")).count()

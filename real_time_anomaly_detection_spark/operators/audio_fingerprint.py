@@ -73,6 +73,7 @@ from pyspark.sql import types as T
 
 from ..audio import codecs
 from ..caching import persist_tracked
+from ..partitioning import spread
 
 _AF_NBANDS = 48  # descriptor resolution (log-spaced Hz bands)
 _AF_BITS = 128
@@ -216,8 +217,12 @@ def neardup_pairs(
         "clip_id", "bands", dq.alias("dq")
     )
     # multi-referenced by the self-join below (q40 pattern); tracked so
-    # long-lived sessions can release it via caching.release_cached()
-    fp = persist_tracked(fp)
+    # long-lived sessions can release it via caching.release_cached().
+    # spread first (r7): a STORED fingerprint relation read back from a
+    # single parquet file (the CLI audio-neardup flow) otherwise runs the
+    # whole banded self-join in ONE task (measured 12s vs ~2s); no-op when
+    # the input is already parallel.
+    fp = persist_tracked(spread(fp))
     chunks = F.array(
         *[
             F.struct(

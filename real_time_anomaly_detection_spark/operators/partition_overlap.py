@@ -74,11 +74,16 @@ def partition_overlap(
     n_hashes: int = 16,
     min_est: float = 0.0,
     fp: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(part_a, part_b, n_matching_lanes, est_jaccard) for partition pairs
     with est_jaccard >= `min_est` (0.0 = full matrix; set a floor at scale
-    so the O(P^2) output stays triage-sized)."""
-    sig = partition_signatures(clips, n_hashes=n_hashes, fp=fp)
+    so the O(P^2) output stays triage-sized). ``sig``: optionally pass an
+    already-materialized `partition_signatures` relation (e.g. the one the
+    CLI just wrote) so the payload column is not re-scanned (r6 ADVICE:
+    the CLI previously paid the bytes scan twice)."""
+    if sig is None:
+        sig = partition_signatures(clips, n_hashes=n_hashes, fp=fp)
     a, b = sig.alias("a"), sig.alias("b")
     matches = sum(
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)

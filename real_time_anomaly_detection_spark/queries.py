@@ -46,6 +46,9 @@ def _r6(c):
     return F.round(c, 6)
 
 
+from .partitioning import spread as _spread_impl
+
+
 def _spread(d: DataFrame, factor: int = 2) -> DataFrame:
     """Ensure a compute-heavy scan-local stage sees >= cores tasks.
 
@@ -56,15 +59,9 @@ def _spread(d: DataFrame, factor: int = 2) -> DataFrame:
     measured: sf1 documents.parquet = 7 row groups). CONDITIONAL: when the
     scan already yields >= cores*factor splits — every real at-scale input
     — this is a no-op, so the corpus-scale round-robin Exchange the r6
-    ADVICE flagged on q68 never happens on big inputs."""
-    sc = d.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
-    try:
-        if d.rdd.getNumPartitions() >= target:
-            return d
-    except Exception:  # noqa: BLE001 — planning hiccup: spread anyway
-        pass
-    return d.repartition(target)
+    ADVICE flagged on q68 never happens on big inputs. Shared impl:
+    `partitioning.spread` (operators use it too)."""
+    return _spread_impl(d, factor)
 
 
 # --------------------------------------------------------------------------
@@ -568,20 +565,26 @@ def q22_haversine_pairs(spark, sf_dir):
     """J2/F4: spatial theta join (haversine <= 200 km) on synthetic
     coordinates derived deterministically from keys.
 
-    Scale path (SURVEY J2): grid-cell prefilter — equi-join on 4-degree cell
-    ids (one side exploded to its 3x3 neighborhood, lon wrap handled) BEFORE
+    Scale path (SURVEY J2): grid-cell prefilter — equi-join on cell ids
+    (one side exploded to its 3x3 neighborhood, lon wrap handled) BEFORE
     the exact distance predicate, so candidates are O(points x density), not
     O(points^2) like the reference's nested loop (anomaly_detector.py:224-232).
     Cell size proof: |lat| < 60 by construction, so 200 km spans < 1.8 deg lat
-    and < 200/(111.19*cos 60) = 3.6 deg lon — both under one 4-deg cell.
-    The oracle is the exact all-pairs formulation; results are identical.
+    and < 200/(111.19*cos 60) = 3.6 deg lon. Cells are 2 deg lat x 4 deg lon
+    (r7: halved from 4x4 — 1.8 < 2 still fits one cell step, the 3x3
+    neighborhood still covers every qualifying pair, and the candidate area
+    drops from 12x12 to 6x12 deg^2, halving the join's pair enumeration —
+    guide §1.2, the join was the measured wall after the r7 bbox prefilter).
+    A conservative |dlat|/|dlon| bounding box rejects most survivors before
+    the sin/cos/asin chain. The oracle is the exact all-pairs formulation;
+    results are identical.
     """
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
         ((F.col("c_custkey") * 37 % 12000) / 100.0 - 60.0).alias("lat"),
         ((F.col("c_custkey") * 91 % 36000) / 100.0 - 180.0).alias("lon"),
     )
-    cx = F.floor((F.col("lat") + 60.0) / 4.0)
+    cx = F.floor((F.col("lat") + 60.0) / 2.0)
     cy = F.floor((F.col("lon") + 180.0) / 4.0)
     a = c.select("*", cx.alias("cx"), cy.alias("cy")).alias("a")
     offsets = F.array(
@@ -654,10 +657,10 @@ WHERE a.c_custkey < b.c_custkey
 _Q22_SQL_GRID = """
 WITH c AS (SELECT c_custkey, (c_custkey * 37 % 12000) / 100.0 - 60.0 AS lat,
                   (c_custkey * 91 % 36000) / 100.0 - 180.0 AS lon FROM customer),
-a AS (SELECT *, floor((lat + 60.0) / 4.0) AS cx,
+a AS (SELECT *, floor((lat + 60.0) / 2.0) AS cx,
              floor((lon + 180.0) / 4.0) AS cy FROM c),
 b AS (SELECT c.c_custkey, c.lat, c.lon,
-             floor((lat + 60.0) / 4.0) + o.dx AS ncx,
+             floor((lat + 60.0) / 2.0) + o.dx AS ncx,
              ((CAST(floor((lon + 180.0) / 4.0) AS BIGINT) + o.dy) % 90 + 90) % 90 AS ncy
       FROM c, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
                       (1,-1),(1,0),(1,1)) o(dx, dy))
