@@ -334,11 +334,15 @@ def test_q69_text_dies_at_the_scan(spark):
 
 
 def test_q68_exchange_count(spark):
-    """q68 = one round-robin spread into the assignment pass + ONE
-    cell-keyed Exchange for the per-cell dominance test — the pair
-    relation never shuffles (it never exists)."""
+    """q68 = ONE cell-keyed Exchange for the per-cell dominance test — the
+    pair relation never shuffles (it never exists). r7: the assignment
+    pass's round-robin spread is CONDITIONAL (`partitioning.spread` no-ops
+    on tiny or already-parallel inputs), so the pin allows 1 or 2
+    exchanges but requires exactly one hash(cell) partitioning and no
+    other keyed exchange."""
     from real_time_anomaly_detection_spark.queries import q68_semdedup
 
     df = q68_semdedup(spark, SF)
     p = plan_str(df)
-    assert p.count("Exchange") == 2, p
+    assert 1 <= p.count("Exchange") <= 2, p
+    assert p.count("hashpartitioning(cell") == 1, p
