@@ -34,7 +34,11 @@ def spread(d: DataFrame, factor: int = 2) -> DataFrame:
     except Exception:  # noqa: BLE001 — no estimate: fall through to count
         pass
     try:
-        if d.rdd.getNumPartitions() >= target:
+        # Probe the JVM-side RDD: same partition count as `d.rdd` (the
+        # Python wrapper only appends a row-conversion map, which never
+        # changes partitioning) at half the driver cost — `d.rdd` also
+        # builds the pickle-conversion plan just to read the count.
+        if d._jdf.queryExecution().toRdd().getNumPartitions() >= target:
             return d
     except Exception:  # noqa: BLE001 — planning hiccup: spread anyway
         pass
